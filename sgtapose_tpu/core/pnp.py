@@ -1,0 +1,400 @@
+"""Batched, on-device PnP + weighted LM pose refinement.
+
+One JAX solver family replaces BOTH of the reference's native/host solvers:
+  * cv2.solvePnP (EPnP init + SOLVEPNP_ITERATIVE refine)
+      (ref: sgtapose/geometric_vision.py:43-116 solve_pnp)
+  * the C++/Eigen `LM` shared library + its python Gauss-Newton mirror
+      (ref: sgtapose/rf_tools/libtestso_final.so; rf_tools/LM.py:128-266 —
+       residual `fun`, symbolically-expanded Jacobian `dfun`, GN loop with
+       1e-4 damping, <=200 iters, 1e8-weighted unit-quaternion constraint row)
+
+Design (TPU-first):
+  * static shapes everywhere — variable valid-keypoint counts are handled by
+    zero weights, not row filtering (the reference filters rows,
+    analysis.py:801-805)
+  * init by masked DLT on normalized coordinates + SO(3) projection, then
+    Levenberg-Marquardt on the reprojection residual inside lax.while_loop
+  * the refine stage's Jacobian comes from jax.jacfwd of the closed-form
+    residual — exact, and replaces ~60 lines of sympy-generated expressions
+  * everything vmaps: solve a whole batch of frames' PnPs in one XLA program
+
+Quaternions are (w, x, y, z).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtapose_tpu.core import geometry
+
+
+class PnPResult(NamedTuple):
+    success: jnp.ndarray  # () bool
+    quat: jnp.ndarray  # (4,) wxyz
+    trans: jnp.ndarray  # (3,)
+
+
+# -----------------------------------------------------------------------------
+# DLT initialization
+# -----------------------------------------------------------------------------
+
+
+def _normalize_2d(x2d: jnp.ndarray, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hartley normalization of weighted 2D points. Returns (x_norm, T 3x3)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    mean = jnp.sum(x2d * w[:, None], axis=0) / wsum
+    d = jnp.sqrt(jnp.sum((x2d - mean) ** 2, axis=1) + 1e-12)
+    mean_d = jnp.sum(d * w) / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-8)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    xn = (x2d - mean) * s
+    return xn, T
+
+
+def _normalize_3d(x3d: jnp.ndarray, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    mean = jnp.sum(x3d * w[:, None], axis=0) / wsum
+    d = jnp.sqrt(jnp.sum((x3d - mean) ** 2, axis=1) + 1e-12)
+    mean_d = jnp.sum(d * w) / wsum
+    s = jnp.sqrt(3.0) / jnp.maximum(mean_d, 1e-8)
+    return (x3d - mean) * s, s, mean
+
+
+def dlt_init(
+    x3d: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray, weights: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked DLT estimate of (R, t) from (N,3)-(N,2) correspondences.
+
+    Works in normalized camera coordinates (K^-1 applied) with Hartley
+    conditioning; the 12-vector nullspace of the weighted design matrix is the
+    flattened projection [R|t], recovered via eigh of A^T A (12x12 — tiny,
+    TPU-friendly), then projected onto SO(3) by SVD.
+    """
+    Kinv = jnp.linalg.inv(K)
+    xy1 = jnp.concatenate([x2d, jnp.ones_like(x2d[:, :1])], axis=1)
+    xyn = jnp.matmul(xy1, Kinv.T, precision="highest")[:, :2]  # normalized image coords
+
+    xn2, T2 = _normalize_2d(xyn, weights)
+    xn3, s3, m3 = _normalize_3d(x3d, weights)
+
+    n = x3d.shape[0]
+    zeros = jnp.zeros((n, 4), jnp.float32)
+    X_h = jnp.concatenate([xn3, jnp.ones((n, 1), jnp.float32)], axis=1)  # (N,4)
+    u = xn2[:, 0:1]
+    v = xn2[:, 1:2]
+    rows_u = jnp.concatenate([X_h, zeros, -u * X_h], axis=1)  # (N,12)
+    rows_v = jnp.concatenate([zeros, X_h, -v * X_h], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2N,12)
+    ww = jnp.concatenate([weights, weights], axis=0)
+    A = A * ww[:, None]
+    AtA = jnp.matmul(A.T, A, precision="highest")
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0]  # smallest eigenvalue
+    P = p.reshape(3, 4)
+
+    # Undo normalizations: P maps normalized-3D -> normalized-2D.
+    # x2n = T2 @ x2 ; X3n = s3 (X3 - m3). Full P' (on raw coords):
+    T2_inv = jnp.linalg.inv(T2)
+    S3 = jnp.zeros((4, 4), jnp.float32)
+    S3 = S3.at[0, 0].set(s3).at[1, 1].set(s3).at[2, 2].set(s3).at[3, 3].set(1.0)
+    S3 = S3.at[0, 3].set(-s3 * m3[0]).at[1, 3].set(-s3 * m3[1]).at[2, 3].set(-s3 * m3[2])
+    P = jnp.matmul(jnp.matmul(T2_inv, P, precision="highest"), S3, precision="highest")
+
+    # cheirality: make mean depth positive
+    X_full = jnp.concatenate([x3d, jnp.ones((n, 1), jnp.float32)], axis=1)
+    depths = jnp.matmul(X_full, P[2].T, precision="highest")
+    sign = jnp.where(jnp.sum(depths * weights) < 0, -1.0, 1.0)
+    P = P * sign
+
+    # scale so rotation block has unit singular values; project onto SO(3)
+    Rraw = P[:, :3]
+    U, S, Vt = jnp.linalg.svd(Rraw)
+    scale = jnp.maximum(jnp.mean(S), 1e-12)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32))
+    D = D.at[2, 2].set(det)
+    R = jnp.matmul(jnp.matmul(U, D, precision="highest"), Vt, precision="highest")
+    t = P[:, 3] / scale
+    return R, t
+
+
+# -----------------------------------------------------------------------------
+# Reprojection LM refinement (replaces SOLVEPNP_ITERATIVE)
+# -----------------------------------------------------------------------------
+
+
+def _reproj_residual(params, x3d, x2d, K, weights):
+    """Weighted reprojection residual, (2N,). params = (qw,qx,qy,qz,tx,ty,tz)."""
+    q = params[:4]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    t = params[4:]
+    R = geometry.quat_to_matrix(q)
+    proj = geometry.project_points(x3d, R, t, K)
+    r = (proj - x2d) * weights[:, None]
+    return r.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def refine_pose_lm(
+    x3d: jnp.ndarray,
+    x2d: jnp.ndarray,
+    K: jnp.ndarray,
+    weights: jnp.ndarray,
+    quat_init: jnp.ndarray,
+    trans_init: jnp.ndarray,
+    max_iters: int = 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Levenberg-Marquardt on the plain (non-squared) reprojection residual,
+    with per-point weights; mirrors cv2 SOLVEPNP_ITERATIVE's role in
+    ref geometric_vision.py:97-107. Quaternion is renormalized inside the
+    residual so no constraint row is needed here.
+    """
+    params0 = jnp.concatenate([quat_init, trans_init])
+
+    res_fn = lambda p: _reproj_residual(p, x3d, x2d, K, weights)
+    jac_fn = jax.jacfwd(res_fn)
+
+    def cond(state):
+        i, params, lam, delta_norm = state
+        return (i < max_iters) & (delta_norm > 1e-8)
+
+    def body(state):
+        i, params, lam, _ = state
+        r = res_fn(params)
+        J = jac_fn(params)
+        JtJ = jnp.matmul(J.T, J, precision="highest")
+        g = jnp.matmul(J.T, r, precision="highest")
+        H = JtJ + lam * jnp.diag(jnp.diag(JtJ) + 1e-9)
+        delta = jnp.linalg.solve(H, g)
+        new_params = params - delta
+        new_cost = jnp.sum(res_fn(new_params) ** 2)
+        old_cost = jnp.sum(r ** 2)
+        improved = new_cost < old_cost
+        params = jnp.where(improved, new_params, params)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-10, 1e8)
+        return (i + 1, params, lam, jnp.linalg.norm(delta))
+
+    init = (jnp.int32(0), params0, jnp.float32(1e-3), jnp.float32(1.0))
+    _, params, _, _ = jax.lax.while_loop(cond, body, init)
+    q = params[:4]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    return q, params[4:]
+
+
+def solve_pnp(
+    x3d: jnp.ndarray,
+    x2d: jnp.ndarray,
+    K: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    refine_iters: int = 30,
+) -> PnPResult:
+    """Full PnP: masked DLT init + LM refine. Static-shape equivalent of
+    ref solve_pnp (geometric_vision.py:43-116). `valid` masks bad rows
+    (NaN filtering in the reference) with weight 0.
+
+    success mirrors the reference's pnp_retval: False when fewer than 4 valid
+    points or the solution is degenerate (non-finite).
+    """
+    n = x3d.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    finite = jnp.all(jnp.isfinite(x3d), axis=1) & jnp.all(jnp.isfinite(x2d), axis=1)
+    valid = valid & finite
+    w = valid.astype(jnp.float32)
+    x3d = jnp.where(valid[:, None], x3d, 0.0)
+    x2d = jnp.where(valid[:, None], x2d, 0.0)
+
+    R0, t0 = dlt_init(x3d, x2d, K, w)
+    q0 = geometry.matrix_to_quat(R0)
+    q, t = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
+
+    n_valid = jnp.sum(w)
+    ok = (
+        (n_valid >= 4)
+        & jnp.all(jnp.isfinite(q))
+        & jnp.all(jnp.isfinite(t))
+    )
+    q = jnp.where(ok, q, jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
+    t = jnp.where(ok, t, jnp.zeros(3, jnp.float32))
+    return PnPResult(success=ok, quat=q, trans=t)
+
+
+solve_pnp_batch = jax.vmap(solve_pnp, in_axes=(0, 0, None, 0))
+
+
+# -----------------------------------------------------------------------------
+# Reference-parity weighted GN refiner (the --rf "LM" from rf_tools)
+# -----------------------------------------------------------------------------
+
+
+def _squared_residuals(params, x3d, x2d, K, weights):
+    """The reference's `fun` (rf_tools/LM.py:128-158): per-row SQUARED weighted
+    reprojection error, plus a 2e8-weighted squared unit-quaternion constraint.
+    Quaternion rotation applied via q p q* exactly like the symbolic form.
+    Returns (2N + 1,).
+    """
+    q = params[:4]
+    t = params[4:]
+    fx, cx = K[0, 0], K[0, 2]
+    fy, cy = K[1, 1], K[1, 2]
+    rot = geometry.rotate_point_by_quat(x3d, q[None, :].repeat(x3d.shape[0], 0))
+    cam = rot + t
+    u = (fx * cam[:, 0] + cx * cam[:, 2]) / cam[:, 2]
+    v = (fy * cam[:, 1] + cy * cam[:, 2]) / cam[:, 2]
+    rx = weights[:, 0] ** 2 * (x2d[:, 0] - u) ** 2
+    ry = weights[:, 1] ** 2 * (x2d[:, 1] - v) ** 2
+    qn = jnp.sum(q * q) - 1.0
+    constraint = 2e8 * qn * qn
+    return jnp.concatenate(
+        [jnp.stack([rx, ry], axis=1).reshape(-1), constraint[None]]
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def register_gn(
+    x2d: jnp.ndarray,
+    x3d: jnp.ndarray,
+    quat_init: jnp.ndarray,
+    trans_init: jnp.ndarray,
+    weights: jnp.ndarray,
+    K: jnp.ndarray,
+    max_iters: int = 200,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-parity Gauss-Newton on SQUARED residuals.
+
+    Mirrors rf_tools/LM.py:222-266 (`GN` / `register_GN_C` / C++ `LM`):
+      value <- value - (J^T J + 1e-4 I)^-1 J^T f
+      stop when sum|delta| <= 1e-4 or 200 iterations.
+    f is the squared-residual vector; J = jacfwd(f) — identical math to the
+    sympy-expanded `dfun`, without 60 lines of generated code. The constraint
+    row keeps the quaternion on the unit sphere (weight 1e8 on each of 2 rows,
+    folded into a single 2e8 row as in `fun`).
+
+    weights: (N, 2) per-point x/y confidence weights (the trailing 1e8
+    constraint row of the reference's (N+1, 2) array is implicit here).
+
+    Deviation from the reference loop (documented): the reference runs plain
+    GN with a fixed 1e-4 damping in float64; in float32 (the TPU-native dtype)
+    that diverges — JtJ condition numbers reach ~1e8. We therefore use
+    adaptive Levenberg damping scaled by diag(JtJ) plus step acceptance
+    (only take steps that reduce ||f||^2). The objective and therefore the
+    fixed points are identical; only the iteration path differs.
+    """
+    params0 = jnp.concatenate([quat_init, trans_init]).astype(jnp.float32)
+    f_fn = lambda p: _squared_residuals(p, x3d, x2d, K, weights)
+    jac_fn = jax.jacfwd(f_fn)
+
+    def cond(state):
+        i, params, lam, delta_sum = state
+        return (i < max_iters) & (delta_sum > 1e-4)
+
+    def body(state):
+        i, params, lam, _ = state
+        f = f_fn(params)
+        J = jac_fn(params)
+        JtJ = jnp.matmul(J.T, J, precision="highest")
+        damp = lam * (jnp.diag(JtJ) + 1e-4)
+        H = JtJ + jnp.diag(damp)
+        delta = jnp.linalg.solve(H, jnp.matmul(J.T, f, precision="highest"))
+        new_params = params - delta
+        old_cost = jnp.sum(f * f)
+        new_f = f_fn(new_params)
+        new_cost = jnp.sum(new_f * new_f)
+        ok = jnp.all(jnp.isfinite(new_params)) & (new_cost < old_cost)
+        params = jnp.where(ok, new_params, params)
+        lam = jnp.clip(jnp.where(ok, lam * 0.33, lam * 4.0), 1e-8, 1e10)
+        # keep iterating while rejected steps still have damping room
+        delta_sum = jnp.where(ok, jnp.sum(jnp.abs(delta)), jnp.float32(1.0))
+        delta_sum = jnp.where(lam >= 1e10, 0.0, delta_sum)
+        return (i + 1, params, lam, delta_sum)
+
+    init = (jnp.int32(0), params0, jnp.float32(1e-4), jnp.float32(100.0 * 7))
+    _, params, _, _ = jax.lax.while_loop(cond, body, init)
+    return params[:4], params[4:]
+
+
+def reprojection_weights(
+    x2d: jnp.ndarray,
+    x3d: jnp.ndarray,
+    quat: jnp.ndarray,
+    trans: jnp.ndarray,
+    K: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Confidence weights w = exp(-5 * d) per coordinate, where d is the
+    squared deviation between a detection and its reprojection under the
+    current pose estimate. (ref: rf_tools/LM.py:279-320 get_weights, driven by
+    analysis.py:816-848 which feeds squared distances.)
+
+    Returns (N, 2). Invalid detections get weight 0 (replaces the reference's
+    row filtering with static shapes).
+    """
+    R = geometry.quat_to_matrix(quat)
+    proj = geometry.project_points(x3d, R, trans, K)
+    d = (proj - x2d) ** 2
+    w = jnp.exp(-5.0 * d)
+    if valid is not None:
+        w = w * valid[:, None].astype(w.dtype)
+    return w
+
+
+# -----------------------------------------------------------------------------
+# Structure-prior generation (train + inference shared primitive)
+# -----------------------------------------------------------------------------
+
+
+def pnp_reprojection_prior(
+    prev_x3d: jnp.ndarray,
+    prev_x2d: jnp.ndarray,
+    next_x3d: jnp.ndarray,
+    K: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PnP from the previous frame's (3D, 2D) pairs, then reproject the next
+    frame's FK 3D keypoints: the temporal structure prior.
+    (ref: geometric_vision.py:233-310 get_pnp_keypoints / is_pnp)
+
+    Returns (success, next_2d_est (N,2)). On failure the caller falls back to
+    the previous detections (is_pnp semantics).
+    """
+    res = solve_pnp(prev_x3d, prev_x2d, K, valid)
+    R = geometry.quat_to_matrix(res.quat)
+    next_est = geometry.project_points(next_x3d, R, res.trans, K)
+    return res.success, next_est
+
+
+def noised_pnp_prior(
+    rng: jax.Array,
+    prev_x3d: jnp.ndarray,
+    prev_x2d_gt: jnp.ndarray,
+    next_x3d: jnp.ndarray,
+    K: jnp.ndarray,
+    hm_disturb: float,
+    lost_disturb: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training-time prior generation with fault injection
+    (ref: geometric_vision.py:233-280 get_pnp_keypoints):
+      * jitter each previous GT projection by N(0,1) * hm_disturb * 2
+      * drop each point with probability lost_disturb (weight-0, not removed)
+      * PnP on surviving noised points; reproject next frame's 3D points
+
+    Returns (success, next_2d_est (N,2), prev_2d_noised_out (N,2) with dropped
+    points set to the -999.999 sentinel).
+    """
+    k_jit, k_drop = jax.random.split(rng)
+    n = prev_x2d_gt.shape[0]
+    noise = jax.random.normal(k_jit, (n, 2)) * hm_disturb * 2.0
+    noised = prev_x2d_gt + noise
+    keep = jax.random.uniform(k_drop, (n,)) > lost_disturb
+    success, next_est = pnp_reprojection_prior(prev_x3d, noised, next_x3d, K, keep)
+    sentinel = jnp.full((n, 2), -999.999, jnp.float32)
+    noised_out = jnp.where(keep[:, None], noised, sentinel)
+    return success, next_est, noised_out

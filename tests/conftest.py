@@ -1,0 +1,26 @@
+"""Test harness: run everything on CPU with 8 virtual devices so multi-chip
+sharding is exercised without TPUs (SURVEY.md §4 rebuild strategy)."""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU-tunnel plugin ignores JAX_PLATFORMS from the environment; the
+# config flag is honored. Must run before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(317)

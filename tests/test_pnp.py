@@ -1,0 +1,148 @@
+"""PnP + LM solver tests: recover known synthetic poses (SURVEY.md §4:
+'PnP solve vs known poses, LM convergence vs LM.py:374-411-style synthetic
+poses')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtapose_tpu.core import geometry, pnp
+
+K = jnp.array([[502.30, 0.0, 319.75], [0.0, 502.30, 179.75], [0.0, 0.0, 1.0]])
+
+
+def make_pose(rng, n_points=7):
+    """Random pose + points in front of the camera (LM.py:348-372 style)."""
+    q = rng.randn(4).astype(np.float32)
+    q /= np.linalg.norm(q)
+    R = np.asarray(geometry.quat_to_matrix(jnp.asarray(q)))
+    t = np.array([0.1, -0.05, 1.5]) + rng.rand(3) * 0.3
+    x3d = (rng.rand(n_points, 3).astype(np.float32) - 0.5) * 0.6
+    cam = x3d @ R.T + t
+    uvw = cam @ np.asarray(K).T
+    x2d = uvw[:, :2] / uvw[:, 2:3]
+    return q, t.astype(np.float32), x3d, x2d.astype(np.float32)
+
+
+def reproj_err(q, t, x3d, x2d):
+    R = geometry.quat_to_matrix(jnp.asarray(q))
+    proj = geometry.project_points(jnp.asarray(x3d), R, jnp.asarray(t), K)
+    return float(jnp.mean(jnp.linalg.norm(proj - x2d, axis=1)))
+
+
+def test_solve_pnp_exact(rng):
+    for trial in range(5):
+        q, t, x3d, x2d = make_pose(rng)
+        res = pnp.solve_pnp(jnp.asarray(x3d), jnp.asarray(x2d), K)
+        assert bool(res.success)
+        assert reproj_err(res.quat, res.trans, x3d, x2d) < 0.1
+        # pose itself should match (up to quat sign)
+        qd = np.abs(np.dot(np.asarray(res.quat), q))
+        assert qd > 0.999, f"trial {trial}: quat mismatch {qd}"
+        np.testing.assert_allclose(np.asarray(res.trans), t, atol=5e-3)
+
+
+def test_solve_pnp_noisy(rng):
+    q, t, x3d, x2d = make_pose(rng)
+    x2d_noisy = x2d + rng.randn(*x2d.shape).astype(np.float32) * 1.0
+    res = pnp.solve_pnp(jnp.asarray(x3d), jnp.asarray(x2d_noisy), K)
+    assert bool(res.success)
+    # should still land close to GT pose
+    assert reproj_err(res.quat, res.trans, x3d, x2d) < 5.0
+
+
+def test_solve_pnp_masked(rng):
+    q, t, x3d, x2d = make_pose(rng)
+    # corrupt two rows but mask them out
+    x2d_bad = x2d.copy()
+    x2d_bad[0] = [-999.999, -999.999]
+    x2d_bad[3] = [1e4, 1e4]
+    valid = jnp.array([False, True, True, False, True, True, True])
+    res = pnp.solve_pnp(jnp.asarray(x3d), jnp.asarray(x2d_bad), K, valid)
+    assert bool(res.success)
+    assert reproj_err(res.quat, res.trans, x3d, x2d) < 0.5
+
+
+def test_solve_pnp_too_few_points(rng):
+    q, t, x3d, x2d = make_pose(rng)
+    valid = jnp.array([True, True, True, False, False, False, False])
+    res = pnp.solve_pnp(jnp.asarray(x3d), jnp.asarray(x2d), K, valid)
+    assert not bool(res.success)
+
+
+def test_solve_pnp_batch(rng):
+    poses = [make_pose(rng) for _ in range(4)]
+    x3d = jnp.asarray(np.stack([p[2] for p in poses]))
+    x2d = jnp.asarray(np.stack([p[3] for p in poses]))
+    valid = jnp.ones((4, 7), bool)
+    res = pnp.solve_pnp_batch(x3d, x2d, K, valid)
+    assert res.success.shape == (4,)
+    assert bool(jnp.all(res.success))
+    for i, (q, t, x3di, x2di) in enumerate(poses):
+        assert reproj_err(res.quat[i], res.trans[i], x3di, x2di) < 0.1
+
+
+def test_register_gn_improves_pose(rng):
+    """The reference-parity GN refiner recovers a pose from a perturbed init
+    (mirror of the rf_tools/LM.py __main__ self-test)."""
+    q, t, x3d, x2d = make_pose(rng)
+    # perturb init
+    q0 = q + rng.randn(4).astype(np.float32) * 0.05
+    q0 /= np.linalg.norm(q0)
+    t0 = t + rng.randn(3).astype(np.float32) * 0.05
+    w = np.ones((7, 2), np.float32)
+    err_before = reproj_err(q0, t0, x3d, x2d)
+    q1, t1 = pnp.register_gn(
+        jnp.asarray(x2d), jnp.asarray(x3d), jnp.asarray(q0), jnp.asarray(t0),
+        jnp.asarray(w), K,
+    )
+    q1n = np.asarray(q1)
+    q1n = q1n / np.linalg.norm(q1n)
+    err_after = reproj_err(q1n, np.asarray(t1), x3d, x2d)
+    assert err_after < err_before
+    assert err_after < 0.5
+    # unit-quaternion constraint held
+    assert abs(np.linalg.norm(np.asarray(q1)) - 1.0) < 1e-2
+
+
+def test_reprojection_weights(rng):
+    q, t, x3d, x2d = make_pose(rng)
+    w = pnp.reprojection_weights(jnp.asarray(x2d), jnp.asarray(x3d), jnp.asarray(q), jnp.asarray(t), K)
+    # perfect reprojection -> weight exp(0) = 1
+    np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-3)
+    x2d_off = x2d + 1.0
+    w2 = pnp.reprojection_weights(jnp.asarray(x2d_off), jnp.asarray(x3d), jnp.asarray(q), jnp.asarray(t), K)
+    np.testing.assert_allclose(np.asarray(w2), np.exp(-5.0), rtol=1e-2)
+
+
+def test_pnp_reprojection_prior(rng):
+    """Structure prior: pose from prev frame reprojects next frame's points."""
+    q, t, x3d, x2d = make_pose(rng)
+    next_x3d = x3d + rng.randn(7, 3).astype(np.float32) * 0.02
+    ok, next_est = pnp.pnp_reprojection_prior(
+        jnp.asarray(x3d), jnp.asarray(x2d), jnp.asarray(next_x3d), K
+    )
+    assert bool(ok)
+    # oracle projection with GT pose
+    R = geometry.quat_to_matrix(jnp.asarray(q))
+    expect = geometry.project_points(jnp.asarray(next_x3d), R, jnp.asarray(t), K)
+    np.testing.assert_allclose(np.asarray(next_est), np.asarray(expect), atol=0.5)
+
+
+def test_noised_pnp_prior_shapes(rng):
+    q, t, x3d, x2d = make_pose(rng)
+    key = jax.random.PRNGKey(0)
+    ok, next_est, noised_out = pnp.noised_pnp_prior(
+        key, jnp.asarray(x3d), jnp.asarray(x2d), jnp.asarray(x3d), K,
+        hm_disturb=0.75, lost_disturb=0.2,
+    )
+    assert next_est.shape == (7, 2)
+    assert noised_out.shape == (7, 2)
+    # dropped points marked with sentinel
+    no = np.asarray(noised_out)
+    dropped = no[:, 0] < -900
+    kept = ~dropped
+    if kept.any():
+        # kept points are jittered GT
+        assert np.abs(no[kept] - x2d[kept]).max() < 10.0
