@@ -1,0 +1,207 @@
+"""Temporal top-k windowed cross-attention (the SGTAPose paper's core).
+
+Re-design of ref lib/model/networks/dla.py:676-1018 for TPU:
+  * `topk_class_indices`: per-class top-K argmax of the prior cls heatmaps
+    -> static-shape (x, y) coordinates (ref get_topk_index :898-913)
+  * `gather_window_features`: kernel^2-point window gather around each top-k
+    coordinate, scaled into the feature level's resolution, clamped at the
+    border (ref get_topk_features_scale :915-968) — expressed as one
+    take_along_axis gather, static shapes
+  * `MultiHeadCrossAttention`: einops-free MHA with a LEARNED relative
+    position bias pos_embed (heads, n, n) added to the logits
+    (ref MHCA_ein :848-887)
+  * `TransformerEncoderLayer`: cross-attn + FFN(1024) + LayerNorms, with the
+    reference's quirky residual (dropout applied to the residual *query*, not
+    the attention output — ref :734-743)
+  * `TransformerEncoder`: `num_layers` applications of the SAME layer module —
+    the reference's `_get_clones` reuses one module instance, producing
+    weight-tied layers (ref :788-803); calling one Flax submodule N times
+    reproduces exactly that
+  * `scatter_window_features`: write attended features back through the
+    2-layer `cat_layer` MLP (ref substitute_topk_features_scale :1006-1018)
+
+All shapes are static: n_tokens = num_classes * K * kernel_window^2.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def topk_class_indices(hm_cls: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-class top-k peak coordinates.
+
+    hm_cls: (B, H, W, C) prior class heatmaps (120x120 in the flagship).
+    Returns (B, C*k, 2) float32 (x, y), class-major ordering like the
+    reference's view(B, C*K) flattening.
+    """
+    B, H, W, C = hm_cls.shape
+    flat = hm_cls.transpose(0, 3, 1, 2).reshape(B, C, H * W)
+    _, idx = jax.lax.top_k(flat, k)  # (B, C, k)
+    idx = idx.reshape(B, C * k)
+    x = (idx % W).astype(jnp.float32)
+    y = (idx // W).astype(jnp.float32)
+    return jnp.stack([x, y], axis=-1)
+
+
+def window_feat_ids(
+    topk_xy: jnp.ndarray, scale: float, kernel: int, height: int, width: int
+) -> jnp.ndarray:
+    """Flattened pixel ids of the kernel-window neighborhoods.
+
+    topk_xy: (B, K, 2) coordinates in cls-heatmap space; scaled by `scale`
+    into this feature level's resolution, then offset by the window, clamped
+    to the border, and flattened to y*W + x (ref get_topk_features_scale).
+    Returns (B, K * n_win) int32 where n_win = (2*(kernel//2)+1)^2.
+    """
+    r = kernel // 2
+    coords1d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    n1 = coords1d.shape[0]
+    # row-major (i, j) offsets like the reference's meshgrid+flatten
+    off_a = jnp.repeat(coords1d, n1)
+    off_b = jnp.tile(coords1d, n1)
+    offsets = jnp.stack([off_a, off_b], axis=-1)  # (n_win, 2)
+
+    coords = topk_xy[:, :, None, :] * scale + offsets[None, None, :, :]
+    # clamp against height (reference asserts H == W and clamps to H-1)
+    coords = jnp.clip(coords, 0.0, float(height - 1))
+    feat_id = coords[..., 1] * width + coords[..., 0]
+    B = topk_xy.shape[0]
+    return feat_id.reshape(B, -1).astype(jnp.int32)
+
+
+def gather_window_features(feats: jnp.ndarray, feat_ids: jnp.ndarray) -> jnp.ndarray:
+    """feats: (B, H, W, C); feat_ids: (B, M) -> (B, M, C)."""
+    B, H, W, C = feats.shape
+    flat = feats.reshape(B, H * W, C)
+    return jnp.take_along_axis(flat, feat_ids[:, :, None], axis=1)
+
+
+def scatter_window_features(
+    feats: jnp.ndarray, feat_ids: jnp.ndarray, values: jnp.ndarray
+) -> jnp.ndarray:
+    """Write values (B, M, C) back into feats (B, H, W, C) at feat_ids (B, M).
+
+    Duplicate ids (overlapping clamped windows) resolve nondeterministically,
+    matching the reference's advanced-indexing assignment semantics.
+    """
+    B, H, W, C = feats.shape
+    flat = feats.reshape(B, H * W, C)
+
+    def scatter_one(f, ids, v):
+        return f.at[ids].set(v)
+
+    flat = jax.vmap(scatter_one)(flat, feat_ids, values)
+    return flat.reshape(B, H, W, C)
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """MHA with learned (heads, n, n) position bias (ref MHCA_ein dla.py:848-887)."""
+
+    n_heads: int
+    inp_dim: int
+    hid_dim: int
+    n_tokens: int
+    pos_embed: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        B, N, _ = query.shape
+        h = self.n_heads
+        d = self.hid_dim // h
+        q = nn.Dense(self.hid_dim, use_bias=False, name="w_q")(query)
+        k = nn.Dense(self.hid_dim, use_bias=False, name="w_k")(key)
+        v = nn.Dense(self.hid_dim, use_bias=False, name="w_v")(value)
+        q = q.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        scale = jnp.sqrt(jnp.float32(d))
+        energy = jnp.einsum("bhid,bhjd->bhij", q, k) / scale
+        if self.pos_embed:
+            bias = self.param(
+                "pos_embed",
+                nn.initializers.zeros,
+                (h, self.n_tokens, self.n_tokens),
+            )
+            energy = energy + bias
+        attn = jax.nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.hid_dim)
+        return nn.Dense(self.inp_dim, name="fc")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Cross-attn + FFN block (ref TransformerEncoderLayer dla.py:702-743)."""
+
+    d_inp: int
+    d_model: int
+    n_tokens: int
+    d_ffn: int = 1024
+    dropout: float = 0.1
+    n_heads: int = 8
+    pos_embed: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value, train: bool = False):
+        attn = MultiHeadCrossAttention(
+            self.n_heads,
+            self.d_inp,
+            self.d_model * self.n_heads,
+            self.n_tokens,
+            self.pos_embed,
+            name="cross_attn",
+        )(query, key, value)
+        # reference quirk: dropout on the residual query, not the attn output
+        resid = nn.Dropout(self.dropout, deterministic=not train)(query)
+        x = nn.LayerNorm(name="norm1")(attn + resid)
+        # FFN
+        y = nn.Dense(self.d_ffn, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.d_inp, name="linear2")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(name="norm3")(x + y)
+
+
+class TransformerEncoder(nn.Module):
+    """num_layers applications of ONE shared layer (weight-tied, by design:
+    the reference's _get_clones reuses the same module instance)."""
+
+    d_inp: int
+    d_model: int
+    n_tokens: int
+    num_layers: int = 3
+    n_heads: int = 8
+    pos_embed: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value, train: bool = False):
+        layer = TransformerEncoderLayer(
+            self.d_inp,
+            self.d_model,
+            self.n_tokens,
+            n_heads=self.n_heads,
+            pos_embed=self.pos_embed,
+            name="layer",
+        )
+        out = query
+        for _ in range(self.num_layers):
+            out = layer(out, key, value, train)
+        return out
+
+
+class CatLayer(nn.Module):
+    """2-layer MLP merging attended + current features before write-back
+    (ref cat_layer dla.py:1499-1502: Linear(2C->4C), ReLU, Linear(4C->C))."""
+
+    features: int  # C of this level
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features * 4, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.features, name="fc2")(x)

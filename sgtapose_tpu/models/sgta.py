@@ -1,0 +1,199 @@
+"""Flagship SGTAPose model: DLA-34 + l3new windowed temporal cross-attention.
+
+Re-design of ref DLA_PlanAWindow_l3new (lib/model/networks/dla.py:1458-1554)
++ BaseModelPlanA heads (lib/model/networks/base_model.py:102-200):
+
+  * Siamese shared backbone over (pre_img, pre_hm) and (cur_img, repro_hm) —
+    both passes use the SAME stems and trunk weights (ref dla.py:1506-1507),
+    so we stack the two frames along batch and run the trunk ONCE (2B batch):
+    half the kernel launches, larger MXU-friendly shapes.
+  * levels 0-2: per-class top-k of the 120^2 prior cls heatmaps -> window
+    gather -> 3x weight-tied cross-attention (current queries attend previous
+    keys) -> cat_layer MLP write-back.
+  * levels 3-5: top-k gather from previous features substituted directly
+    through the cat_layer (no transformer) (ref dla.py:1536-1543).
+  * DLAUp + IDAUp decode to 64ch @ output res; heads hm(7)/reg(2)/tracking(2),
+    hm head bias initialized to prior_bias=-4.6 (ref base_model.py:62);
+    the `wh` head is omitted (ref base_model.py:114-115).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sgtapose_tpu.config import ModelConfig
+from sgtapose_tpu.models import attention as attn_lib
+from sgtapose_tpu.models.dla import DLA34Backbone, DLAUp, IDAUp, Stem
+
+
+class HeadConv(nn.Module):
+    """Per-head conv stack: 3x3 (64->head_conv) + ReLU + 1x1 (->classes)
+    (ref base_model.py:121-154 with head_conv=[256])."""
+
+    classes: int
+    head_conv: int = 256
+    out_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.head_conv, kernel_size=(3, 3), padding=1, use_bias=True)(x)
+        x = nn.relu(x)
+        return nn.Conv(
+            self.classes,
+            kernel_size=(1, 1),
+            use_bias=True,
+            bias_init=nn.initializers.constant(self.out_bias_init),
+        )(x)
+
+
+class SGTAPose(nn.Module):
+    """DLA_PlanAWindow_l3new equivalent. NHWC inputs:
+      cur_img     (B, H, W, 3)    current frame, normalized
+      pre_img     (B, H, W, 3)    previous frame, normalized
+      pre_hm      (B, H, W, 1)    previous-detection prior heatmap
+      repro_hm    (B, H, W, 1)    PnP-reprojection prior heatmap
+      pre_hm_cls  (B, H/4, W/4, C) per-class previous prior
+      repro_hm_cls(B, H/4, W/4, C) per-class reprojection prior
+    Returns {"hm": (B, H/4, W/4, C), "reg": (B, H/4, W/4, 2),
+             "tracking": (B, H/4, W/4, 2)} raw logits (hm pre-sigmoid).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        cur_img: jnp.ndarray,
+        pre_img: jnp.ndarray,
+        pre_hm: jnp.ndarray,
+        repro_hm: jnp.ndarray,
+        pre_hm_cls: jnp.ndarray,
+        repro_hm_cls: jnp.ndarray,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+
+        # --- Siamese trunk, batched: [prev; cur] along batch -----------------
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+        hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
+        stem_out = stem_img(imgs, train) + stem_hm(hms, train)
+        feats = DLA34Backbone(channels, name="base")(stem_out, train)
+        pre_feats = [f[:B] for f in feats]
+        cur_feats = [f[B:] for f in feats]
+
+        # --- temporal fusion per level --------------------------------------
+        fused: List[jnp.ndarray] = []
+        for i in range(6):
+            K = cfg.k_list[i]
+            kernel = cfg.kernel_list[i]
+            scale = cfg.scale_list[i]
+            Hf, Wf = pre_feats[i].shape[1], pre_feats[i].shape[2]
+            C = pre_feats[i].shape[3]
+
+            pre_xy = attn_lib.topk_class_indices(pre_hm_cls, K)
+            cur_xy = attn_lib.topk_class_indices(repro_hm_cls, K)
+            pre_ids = attn_lib.window_feat_ids(pre_xy, scale, kernel, Hf, Wf)
+            cur_ids = attn_lib.window_feat_ids(cur_xy, scale, kernel, Hf, Wf)
+            pre_key = attn_lib.gather_window_features(pre_feats[i], pre_ids)
+            cur_query = attn_lib.gather_window_features(cur_feats[i], cur_ids)
+
+            if i < 3:
+                n_tokens = cfg.num_classes * K * (1 + 2 * (kernel // 2)) ** 2
+                out = attn_lib.TransformerEncoder(
+                    d_inp=16 * (2 ** i),
+                    d_model=4 * (2 ** i),
+                    n_tokens=n_tokens,
+                    num_layers=cfg.num_decoder_layers,
+                    n_heads=cfg.n_heads,
+                    pos_embed=cfg.pos_embed,
+                    name=f"transformer_{i}",
+                )(cur_query, pre_key, pre_key, train)
+            else:
+                out = pre_key
+
+            merged = attn_lib.CatLayer(C, name=f"cat_layer_{i}")(
+                jnp.concatenate([out, cur_query], axis=-1)
+            )
+            fused.append(
+                attn_lib.scatter_window_features(cur_feats[i], cur_ids, merged)
+            )
+
+        # --- decode ----------------------------------------------------------
+        first_level, last_level = 2, 5
+        dla_channels = channels[first_level:]
+        scales = tuple(2 ** i for i in range(len(dla_channels)))
+        outs = DLAUp(
+            first_level, dla_channels, scales, cfg.dla_node, name="dla_up"
+        )(fused[first_level:], train)
+
+        y = [outs[i] for i in range(last_level - first_level)]
+        y = IDAUp(
+            dla_channels[0],
+            tuple(dla_channels[: last_level - first_level]),
+            tuple(2 ** i for i in range(last_level - first_level)),
+            cfg.dla_node,
+            name="ida_up",
+        )(y, 0, len(y), train)
+        feat = y[-1]  # (B, H/4, W/4, 64)
+
+        # --- heads (wh omitted, ref base_model.py:114-115) -------------------
+        return {
+            "hm": HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias, name="hm")(feat),
+            "reg": HeadConv(2, cfg.head_conv, name="reg")(feat),
+            "tracking": HeadConv(2, cfg.head_conv, name="tracking")(feat),
+        }
+
+
+class CenterNetSingle(nn.Module):
+    """Single-frame baseline (vanilla DLASeg / CenterNet path, ref
+    dla.py:626-674) — used for the `CenterNet` training phase and as a
+    no-temporal-context ablation."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, cur_img, pre_hm=None, train: bool = False):
+        cfg = self.cfg
+        channels = (16, 32, 64, 128, 256, 512)
+        stem = Stem(channels[0], name="base_stem")(cur_img, train)
+        if pre_hm is not None:
+            stem = stem + Stem(channels[0], name="pre_hm_stem")(pre_hm, train)
+        feats = DLA34Backbone(channels, name="base")(stem, train)
+        first_level, last_level = 2, 5
+        dla_channels = channels[first_level:]
+        scales = tuple(2 ** i for i in range(len(dla_channels)))
+        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, name="dla_up")(
+            feats[first_level:], train
+        )
+        y = [outs[i] for i in range(last_level - first_level)]
+        y = IDAUp(
+            dla_channels[0],
+            tuple(dla_channels[: last_level - first_level]),
+            tuple(2 ** i for i in range(last_level - first_level)),
+            cfg.dla_node,
+            name="ida_up",
+        )(y, 0, len(y), train)
+        feat = y[-1]
+        return {
+            "hm": HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias, name="hm")(feat),
+            "reg": HeadConv(2, cfg.head_conv, name="reg")(feat),
+            "tracking": HeadConv(2, cfg.head_conv, name="tracking")(feat),
+        }
+
+
+def create_model(cfg: ModelConfig):
+    """Arch factory (ref model.py:14-29 _network_factory + create_model)."""
+    arch = cfg.arch.split("_")[0]
+    if arch in ("dlapawdl3new", "dlapa", "dlapaw"):
+        return SGTAPose(cfg)
+    if arch in ("dlaseg", "centernet", "dla"):
+        return CenterNetSingle(cfg)
+    raise ValueError(f"unknown arch: {cfg.arch}")

@@ -1,0 +1,128 @@
+"""Model shape/init tests: flagship forward, attention machinery, DCN."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtapose_tpu.config import ModelConfig
+from sgtapose_tpu.models import attention as attn_lib
+from sgtapose_tpu.models.deform_conv import DeformConv2d
+from sgtapose_tpu.models.sgta import SGTAPose, create_model
+
+# tiny config: 64x64 input -> 16x16 output, small windows
+TINY = ModelConfig(
+    input_res=(64, 64),
+    kernel_list=(3, 3, 3, 1, 1, 1),
+)
+
+
+def tiny_inputs(B=1):
+    H, W = TINY.input_res
+    Ho, Wo = TINY.output_res
+    C = TINY.num_classes
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 6)
+    return dict(
+        cur_img=jax.random.normal(ks[0], (B, H, W, 3)),
+        pre_img=jax.random.normal(ks[1], (B, H, W, 3)),
+        pre_hm=jax.random.uniform(ks[2], (B, H, W, 1)),
+        repro_hm=jax.random.uniform(ks[3], (B, H, W, 1)),
+        pre_hm_cls=jax.random.uniform(ks[4], (B, Ho, Wo, C)),
+        repro_hm_cls=jax.random.uniform(ks[5], (B, Ho, Wo, C)),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = SGTAPose(TINY)
+    variables = model.init(jax.random.PRNGKey(1), **tiny_inputs(), train=False)
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    out = model.apply(variables, **tiny_inputs(), train=False)
+    Ho, Wo = TINY.output_res
+    assert out["hm"].shape == (1, Ho, Wo, 7)
+    assert out["reg"].shape == (1, Ho, Wo, 2)
+    assert out["tracking"].shape == (1, Ho, Wo, 2)
+    assert np.isfinite(np.asarray(out["hm"])).all()
+
+
+def test_hm_bias_init(model_and_vars):
+    """hm head final bias must be prior_bias=-4.6 -> sigmoid ~ 0.01."""
+    _, variables = model_and_vars
+    hm_out = model_and_vars[0].apply(variables, **tiny_inputs(), train=False)["hm"]
+    mean_sig = float(jax.nn.sigmoid(hm_out).mean())
+    assert mean_sig < 0.1, f"expected near-zero initial heatmap, got {mean_sig}"
+
+
+def test_weight_tied_transformer(model_and_vars):
+    """The 3-layer encoder must hold exactly ONE layer's parameters."""
+    _, variables = model_and_vars
+    t0 = variables["params"]["transformer_0"]
+    assert set(t0.keys()) == {"layer"}, t0.keys()
+
+
+def test_batch_invariance(model_and_vars):
+    """Sample 0 of a batch-2 forward == batch-1 forward (no cross-batch leaks
+    through the Siamese batch-stacking or the gather/scatter)."""
+    model, variables = model_and_vars
+    i1 = tiny_inputs(B=2)
+    out2 = model.apply(variables, **i1, train=False)
+    i0 = {k: v[:1] for k, v in i1.items()}
+    out1 = model.apply(variables, **i0, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out2["hm"][0]), np.asarray(out1["hm"][0]), atol=2e-4
+    )
+
+
+def test_topk_class_indices():
+    hm = jnp.zeros((1, 8, 10, 2))
+    hm = hm.at[0, 3, 4, 0].set(1.0)  # class 0 peak at (x=4, y=3)
+    hm = hm.at[0, 6, 7, 1].set(1.0)  # class 1 peak at (x=7, y=6)
+    xy = attn_lib.topk_class_indices(hm, 1)
+    assert xy.shape == (1, 2, 2)
+    np.testing.assert_array_equal(np.asarray(xy[0, 0]), [4, 3])
+    np.testing.assert_array_equal(np.asarray(xy[0, 1]), [7, 6])
+
+
+def test_window_gather_scatter_roundtrip():
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    xy = jnp.array([[[5.0, 6.0], [12.0, 3.0]]] * 2)  # (2, 2, 2)
+    ids = attn_lib.window_feat_ids(xy, 1.0, 3, 16, 16)
+    assert ids.shape == (2, 2 * 9)
+    vals = attn_lib.gather_window_features(feats, ids)
+    assert vals.shape == (2, 18, 4)
+    # scatter back the gathered values -> unchanged map
+    out = attn_lib.scatter_window_features(feats, ids, vals)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-6)
+
+
+def test_window_ids_clamped():
+    xy = jnp.array([[[0.0, 0.0]]])  # corner: window clamps at border
+    ids = attn_lib.window_feat_ids(xy, 1.0, 3, 16, 16)
+    assert int(ids.min()) >= 0
+    assert int(ids.max()) < 16 * 16
+
+
+def test_deform_conv_init_matches_plain_conv():
+    """Zero-init offsets + 0.5 masks: DCN at init == plain 3x3 conv * 0.5."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    m = DeformConv2d(6)
+    variables = m.init(jax.random.PRNGKey(3), x)
+    out = m.apply(variables, x)
+    assert out.shape == (1, 8, 8, 6)
+
+    # oracle: plain 3x3 conv with the same kernel, halved (mask=sigmoid(0)=0.5)
+    kern = variables["params"]["kernel"]["kernel"].reshape(3, 3, 4, 6)
+    bias = variables["params"]["kernel"]["bias"]
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) * 0.5 + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_create_model_factory():
+    assert isinstance(create_model(TINY), SGTAPose)
