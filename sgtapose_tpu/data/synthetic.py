@@ -1,0 +1,106 @@
+"""Synthetic sequence generator: random camera-to-robot poses + a fixed robot
+keypoint skeleton, rendered as blob images. Used by tests and bench (the
+container ships no dataset); also a smoke model of the reference's synthetic
+franka_data distribution (640x360 raws, K = SYNTHETIC_CAMERA_K).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtapose_tpu.config import SYNTHETIC_CAMERA_K
+from sgtapose_tpu.core import geometry
+from sgtapose_tpu.data.pipeline import RawSample
+
+RAW_H, RAW_W = 360, 640
+
+# a panda-ish 7-keypoint chain in the robot frame (meters)
+SKELETON = jnp.array(
+    [
+        [0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.333],
+        [0.0, -0.1, 0.45],
+        [0.08, -0.1, 0.6],
+        [0.08, 0.05, 0.75],
+        [0.0, 0.1, 0.85],
+        [0.0, 0.12, 0.95],
+    ],
+    jnp.float32,
+)
+
+
+def camera_K() -> jnp.ndarray:
+    return jnp.asarray(SYNTHETIC_CAMERA_K, jnp.float32)
+
+
+def random_pose(rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-from-robot pose with the robot in front of the camera."""
+    k1, k2 = jax.random.split(rng)
+    q = jax.random.normal(k1, (4,))
+    q = q / jnp.linalg.norm(q)
+    t = jnp.array([0.0, 0.0, 1.8]) + jax.random.uniform(k2, (3,), minval=-0.25, maxval=0.25)
+    return q, t
+
+
+def render_frame(projs: jnp.ndarray) -> jnp.ndarray:
+    """Blob image: one bright gaussian per keypoint on a dark background.
+    (H_raw, W_raw, 3) float in [0, 255]."""
+    n = projs.shape[0]
+    conf = jnp.ones((n,), jnp.float32)
+    hm = geometry.render_gaussian_heatmap(projs, conf, RAW_H, RAW_W, radius=8, sigma=3.0)
+    per = geometry.render_gaussian_heatmap(
+        projs, conf, RAW_H, RAW_W, radius=8, sigma=3.0, per_class=True
+    )
+    # color-code keypoints so the net can tell them apart
+    colors = jnp.stack(
+        [
+            jnp.linspace(60, 255, n),
+            jnp.linspace(255, 60, n),
+            jnp.full((n,), 160.0),
+        ],
+        axis=1,
+    )  # (n, 3)
+    img = jnp.einsum("khw,kc->hwc", per, colors)
+    return jnp.clip(img + 20.0, 0.0, 255.0)
+
+
+def make_sequence(rng: jax.Array, num_frames: int = 2):
+    """Simulate a short video: smooth camera motion over a static robot.
+    Returns per-frame (projs (K,2), x3d_rob (K,3), imgs (H,W,3)) stacked."""
+    k_pose, k_vel = jax.random.split(rng)
+    q0, t0 = random_pose(k_pose)
+    dq = jax.random.normal(jax.random.fold_in(k_vel, 0), (4,)) * 0.01
+    dt = jax.random.normal(jax.random.fold_in(k_vel, 1), (3,)) * 0.01
+    K = camera_K()
+
+    projs, imgs = [], []
+    for f in range(num_frames):
+        q = q0 + dq * f
+        q = q / jnp.linalg.norm(q)
+        t = t0 + dt * f
+        R = geometry.quat_to_matrix(q)
+        p = geometry.project_points(SKELETON, R, t, K)
+        projs.append(p)
+        imgs.append(render_frame(p))
+    return jnp.stack(projs), jnp.stack(imgs)
+
+
+def make_raw_batch(rng: jax.Array, batch_size: int) -> RawSample:
+    """Batch of (prev, next) synthetic frame pairs."""
+    rngs = jax.random.split(rng, batch_size)
+
+    def one(r):
+        projs, imgs = make_sequence(r, 2)
+        return RawSample(
+            prev_img=imgs[0],
+            next_img=imgs[1],
+            prev_projs=projs[0],
+            next_projs=projs[1],
+            prev_x3d_rob=SKELETON,
+            next_x3d_rob=SKELETON,
+        )
+
+    return jax.vmap(one)(rngs)

@@ -1,0 +1,206 @@
+"""On-device peak finding + sub-pixel decode.
+
+The reference's largest per-frame inference bottleneck is a GPU->CPU bounce:
+heatmaps come back to the host, scipy blurs them, python loops find local
+maxima and window-average each peak (ref sgtapose/image_proc.py:1032-1143
+peaks_from_belief_maps; lib/model/utils.py:207-284 _peaks_info;
+lib/model/decode.py:184-234 dream_generic_decode). Here the whole pipeline is
+one jitted, vmapped XLA program with static shapes.
+
+Reference semantics reproduced:
+  * gaussian blur sigma=3 (scipy gaussian_filter default truncate=4.0 ->
+    radius 12, 'reflect' boundary == jnp.pad mode='symmetric')
+  * 4-neighbor local-max with zero-padded shifts, threshold 0.01 on the
+    BLURRED map
+  * 5x5 weighted average around each peak on the ORIGINAL map (out-of-bounds
+    taps excluded), + 0.4395 offset_due_to_upsampling
+  * per-class decision rule: 1 peak -> keep; >=2 peaks -> keep the best only
+    if its ORIGINAL-map score beats the runner-up by >= 0.25, else report the
+    -999.999 sentinel; 0 peaks -> sentinel
+  * sub-pixel final coordinate = int(peak) + reg gathered at that pixel
+    (dream_generic_decode's cts_wreg)
+
+Documented deviation: the reference sorts competing peaks by their y
+coordinate (`key=lambda x: x[1]` — index 1 is y; upstream DREAM sorts by
+score, and the comment says "Try to use the belief map scores"). We sort by
+score, which is the evident intent.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = -999.999
+
+
+class DecodedKeypoints(NamedTuple):
+    coords: jnp.ndarray  # (C, 2) float sub-pixel (x, y); sentinel if missing
+    coords_int: jnp.ndarray  # (C, 2) int32 peak pixel (0,0 if missing)
+    scores: jnp.ndarray  # (C,) original-map peak score; -1 if missing
+    tracking: jnp.ndarray  # (C, 2) tracking offsets at the peaks
+    valid: jnp.ndarray  # (C,) bool
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(hm: jnp.ndarray, sigma: float = 3.0, truncate: float = 4.0) -> jnp.ndarray:
+    """Separable gaussian blur of (H, W, C), scipy.ndimage-compatible
+    (reflect/symmetric boundary)."""
+    radius = int(truncate * sigma + 0.5)
+    k = _gaussian_kernel1d(sigma, radius)
+    H, W, C = hm.shape
+    x = jnp.pad(hm, ((radius, radius), (0, 0), (0, 0)), mode="symmetric")
+    x = jnp.moveaxis(x, -1, 0)  # (C, H+2r, W)
+    kv = k[:, None, None, None]  # (kh, kw=1, in=1, out=1)
+    x = jax.lax.conv_general_dilated(
+        x[..., None],
+        kv,
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = jnp.moveaxis(x[..., 0], 0, -1)  # (H, W, C)
+    x = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="symmetric")
+    x = jnp.moveaxis(x, -1, 0)
+    kh = k[None, :, None, None]
+    x = jax.lax.conv_general_dilated(
+        x[..., None],
+        kh,
+        (1, 1),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.moveaxis(x[..., 0], 0, -1)
+
+
+def _local_max_mask(blurred: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """4-neighbor local maxima of (H, W, C); neighbors beyond the border are
+    zero (the reference compares against zero-filled shifted copies)."""
+    z = jnp.zeros_like(blurred[:1])
+    up = jnp.concatenate([z, blurred[:-1]], axis=0)  # map shifted down
+    down = jnp.concatenate([blurred[1:], z], axis=0)
+    zc = jnp.zeros_like(blurred[:, :1])
+    left = jnp.concatenate([zc, blurred[:, :-1]], axis=1)
+    right = jnp.concatenate([blurred[:, 1:], zc], axis=1)
+    return (
+        (blurred >= up)
+        & (blurred >= down)
+        & (blurred >= left)
+        & (blurred >= right)
+        & (blurred > thresh)
+    )
+
+
+def _subpixel_refine(map_ori: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, offset: float):
+    """5x5 weighted average around integer peak (px, py) on the original map.
+    map_ori: (H, W); px, py: () int32. Returns (x, y) float."""
+    H, W = map_ori.shape
+    ran = 2
+    d = jnp.arange(-ran, ran + 1)
+    dy = d[:, None]
+    dx = d[None, :]
+    yy = py + dy  # (5,5)
+    xx = px + dx
+    inb = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+    yc = jnp.clip(yy, 0, H - 1)
+    xc = jnp.clip(xx, 0, W - 1)
+    w = map_ori[yc, xc] * inb.astype(map_ori.dtype)
+    total = jnp.sum(w)
+    x_avg = jnp.sum(w * xx.astype(jnp.float32)) / jnp.where(total > 0, total, 1.0)
+    y_avg = jnp.sum(w * yy.astype(jnp.float32)) / jnp.where(total > 0, total, 1.0)
+    # all-zero weights -> fall back to the integer peak (reference's except)
+    x_avg = jnp.where(total > 0, x_avg, px.astype(jnp.float32))
+    y_avg = jnp.where(total > 0, y_avg, py.astype(jnp.float32))
+    return x_avg + offset, y_avg + offset
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_peaks", "peak_thresh", "ambiguity_gap", "peak_offset", "sigma"),
+)
+def decode_heatmaps(
+    hm: jnp.ndarray,
+    reg: jnp.ndarray,
+    tracking: jnp.ndarray,
+    max_peaks: int = 8,
+    peak_thresh: float = 0.01,
+    ambiguity_gap: float = 0.25,
+    peak_offset: float = 0.4395,
+    sigma: float = 3.0,
+) -> DecodedKeypoints:
+    """Decode one frame's outputs. hm: (H, W, C) AFTER sigmoid;
+    reg/tracking: (H, W, 2)."""
+    H, W, C = hm.shape
+    blurred = gaussian_blur(hm, sigma)
+    mask = _local_max_mask(blurred, peak_thresh)
+
+    # top-k candidate peaks per class by blurred value
+    flat_blur = jnp.where(mask, blurred, -jnp.inf).transpose(2, 0, 1).reshape(C, H * W)
+    cand_val, cand_idx = jax.lax.top_k(flat_blur, max_peaks)  # (C, P)
+    cand_valid = jnp.isfinite(cand_val)
+    n_peaks = jnp.sum(cand_valid, axis=1)  # (C,)
+
+    px = (cand_idx % W).astype(jnp.int32)
+    py = (cand_idx // W).astype(jnp.int32)
+
+    # original-map scores at candidate peaks
+    hm_cf = hm.transpose(2, 0, 1)  # (C, H, W)
+    scores = jnp.take_along_axis(
+        hm_cf.reshape(C, H * W), cand_idx, axis=1
+    )  # (C, P)
+    scores = jnp.where(cand_valid, scores, -jnp.inf)
+
+    # best + runner-up by ORIGINAL score (see module docstring re: ref sort)
+    order = jnp.argsort(-scores, axis=1)
+    best = order[:, 0]
+    second = order[:, 1]
+    take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+    best_score = take(scores, best)
+    second_score = take(scores, second)
+    best_px = take(px, best)
+    best_py = take(py, best)
+
+    accept = (n_peaks == 1) | ((n_peaks > 1) & (best_score - second_score >= ambiguity_gap))
+
+    # sub-pixel refine the accepted peak per class
+    sx, sy = jax.vmap(_subpixel_refine, in_axes=(0, 0, 0, None))(
+        hm_cf, best_px, best_py, peak_offset
+    )
+    # integer coords the reference gathers reg at: int() of the refined value
+    ix = jnp.trunc(sx).astype(jnp.int32)
+    iy = jnp.trunc(sy).astype(jnp.int32)
+    ix = jnp.where(accept, jnp.clip(ix, 0, W - 1), 0)
+    iy = jnp.where(accept, jnp.clip(iy, 0, H - 1), 0)
+
+    out_score = jnp.where(accept, jnp.take_along_axis(
+        hm_cf.reshape(C, H * W), (iy * W + ix)[:, None], axis=1)[:, 0], -1.0)
+
+    reg_at = reg[iy, ix]  # (C, 2)
+    trk_at = tracking[iy, ix]
+    coords = jnp.stack(
+        [ix.astype(jnp.float32) + reg_at[:, 0], iy.astype(jnp.float32) + reg_at[:, 1]],
+        axis=1,
+    )
+    coords = jnp.where(accept[:, None], coords, SENTINEL)
+    coords_int = jnp.stack([ix, iy], axis=1)
+    return DecodedKeypoints(
+        coords=coords,
+        coords_int=coords_int,
+        scores=out_score,
+        tracking=trk_at,
+        valid=accept,
+    )
+
+
+decode_heatmaps_batch = jax.vmap(
+    decode_heatmaps, in_axes=(0, 0, 0), out_axes=0
+)

@@ -16,6 +16,11 @@ import jax  # noqa: E402
 # The axon TPU-tunnel plugin ignores JAX_PLATFORMS from the environment; the
 # config flag is honored. Must run before any backend initialization.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the model-gradient compiles dominate test
+# wall-time; cache them across runs.
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,95 @@
+"""Decode tests: gaussian blur vs scipy oracle, peak semantics, reg gather."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from sgtapose_tpu.core import geometry
+from sgtapose_tpu.decode import peaks as pk
+
+
+def test_gaussian_blur_matches_scipy():
+    rng = np.random.RandomState(0)
+    hm = rng.rand(40, 40, 3).astype(np.float32)
+    ours = np.asarray(pk.gaussian_blur(jnp.asarray(hm), 3.0))
+    for c in range(3):
+        ref = gaussian_filter(hm[..., c], sigma=3)
+        np.testing.assert_allclose(ours[..., c], ref, atol=1e-4)
+
+
+def make_hm(centers, H=120, W=120, C=None):
+    """Render per-class gaussian heatmaps at given centers [(x, y), ...]."""
+    C = C or len(centers)
+    arrs = []
+    for c in centers:
+        m = np.asarray(
+            geometry.render_gaussian_heatmap(
+                jnp.asarray([c], jnp.float32), jnp.ones((1,)), H, W
+            )
+        )
+        arrs.append(m)
+    return np.stack(arrs, axis=-1).astype(np.float32)  # (H, W, C)
+
+
+def test_single_peak_decode():
+    centers = [(30.0, 40.0), (60.0, 80.0), (100.0, 20.0)]
+    hm = make_hm(centers)
+    reg = np.full((120, 120, 2), 0.3, np.float32)
+    trk = np.zeros((120, 120, 2), np.float32)
+    out = pk.decode_heatmaps(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(trk))
+    assert bool(out.valid.all())
+    for i, (x, y) in enumerate(centers):
+        # int peak + 0.3 reg
+        np.testing.assert_allclose(np.asarray(out.coords[i]), [x + 0.3, y + 0.3], atol=1.0)
+        assert float(out.scores[i]) > 0.9
+
+
+def test_no_peak_gives_sentinel():
+    hm = np.zeros((120, 120, 2), np.float32)
+    reg = np.zeros((120, 120, 2), np.float32)
+    out = pk.decode_heatmaps(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
+    assert not bool(out.valid.any())
+    assert np.all(np.asarray(out.coords) == pk.SENTINEL)
+    assert np.all(np.asarray(out.scores) == -1.0)
+
+
+def test_ambiguous_two_peaks_rejected():
+    """Two peaks of equal strength in one class -> sentinel (gap < 0.25)."""
+    m1 = make_hm([(30.0, 40.0)])[:, :, 0]
+    m2 = make_hm([(90.0, 100.0)])[:, :, 0]
+    hm = np.maximum(m1, m2)[..., None]
+    reg = np.zeros((120, 120, 2), np.float32)
+    out = pk.decode_heatmaps(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
+    assert not bool(out.valid[0])
+
+
+def test_dominant_peak_accepted():
+    """Two peaks, strong one 0.3 higher -> keep the strong one."""
+    m1 = make_hm([(30.0, 40.0)])[:, :, 0] * 1.0
+    m2 = make_hm([(90.0, 100.0)])[:, :, 0] * 0.6
+    hm = np.maximum(m1, m2)[..., None]
+    reg = np.zeros((120, 120, 2), np.float32)
+    out = pk.decode_heatmaps(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
+    assert bool(out.valid[0])
+    np.testing.assert_allclose(np.asarray(out.coords[0]), [30.0, 40.0], atol=1.0)
+
+
+def test_subpixel_better_than_integer():
+    """Sub-pixel center between pixels: weighted average + reg recovers it
+    more closely than pure argmax."""
+    # gaussian rendered at integer but reg encodes the fraction; just check
+    # the decode pipeline's localization error is sub-pixel on clean input
+    hm = make_hm([(55.0, 66.0)])
+    reg = np.full((120, 120, 2), 0.44, np.float32)
+    out = pk.decode_heatmaps(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
+    np.testing.assert_allclose(np.asarray(out.coords[0]), [55.44, 66.44], atol=0.6)
+
+
+def test_batch_decode():
+    hm = np.stack([make_hm([(30.0, 40.0)]), make_hm([(60.0, 20.0)])])
+    reg = np.zeros((2, 120, 120, 2), np.float32)
+    out = pk.decode_heatmaps_batch(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
+    assert out.coords.shape == (2, 1, 2)
+    assert bool(out.valid.all())

@@ -1,0 +1,111 @@
+"""On-device data pipeline + train-step tests (tiny config, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtapose_tpu.config import Config, ModelConfig, TrainConfig
+from sgtapose_tpu.data import pipeline, synthetic
+from sgtapose_tpu.train import trainer
+from sgtapose_tpu.train.loss import sgta_loss
+from sgtapose_tpu.train.schedule import warmup_poly_schedule
+
+TINY = Config(
+    model=ModelConfig(input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1)),
+    train=TrainConfig(batch_size_per_device=1),
+)
+
+
+@pytest.fixture(scope="module")
+def raw_batch():
+    return synthetic.make_raw_batch(jax.random.PRNGKey(0), 2)
+
+
+def test_pipeline_shapes(raw_batch):
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+    H, W = TINY.model.input_res
+    Ho, Wo = TINY.model.output_res
+    assert batch["cur_img"].shape == (2, H, W, 3)
+    assert batch["pre_hm"].shape == (2, H, W, 1)
+    assert batch["pre_hm_cls"].shape == (2, Ho, Wo, 7)
+    assert batch["gt_belief_maps"].shape == (2, Ho, Wo, 7)
+    assert batch["kp_int"].shape == (2, 7, 2)
+    assert batch["kp_int"].dtype == jnp.int32
+    for v in jax.tree_util.tree_leaves(batch):
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+
+
+def test_gt_heatmap_peaks_at_keypoints(raw_batch):
+    """GT belief maps must peak exactly at the int keypoint pixels (when the
+    full gaussian window fits)."""
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K(), augment=False)
+    batch = fn(jax.random.PRNGKey(2), raw_batch)
+    gt = np.asarray(batch["gt_belief_maps"])  # (B, Ho, Wo, 7)
+    kp = np.asarray(batch["kp_int"])
+    Ho, Wo = TINY.model.output_res
+    checked = 0
+    for b in range(gt.shape[0]):
+        for k in range(7):
+            x, y = kp[b, k]
+            if 4 <= x < Wo - 5 and 4 <= y < Ho - 5 and gt[b, :, :, k].max() > 0:
+                assert gt[b, y, x, k] == pytest.approx(1.0, abs=1e-5)
+                checked += 1
+    assert checked > 0
+
+
+def test_reg_target_range(raw_batch):
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K(), augment=False)
+    batch = fn(jax.random.PRNGKey(3), raw_batch)
+    reg = np.asarray(batch["reg_target"])
+    # residual float - int must be in [0, 1) for in-frame keypoints
+    assert reg.min() >= -1e-5 and reg.max() < 1.0 + 1e-5
+
+
+def test_schedule():
+    sched = warmup_poly_schedule(1e-3, max_iters=10000, warmup_iters=100)
+    assert float(sched(0)) < 1e-6 + 1e-9
+    assert float(sched(100)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(5000)) == pytest.approx(1e-3 * (1 - 4999 / 10000), rel=1e-4)
+    assert float(sched(10001)) == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss(raw_batch):
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+    step = jax.jit(trainer.train_step)
+    losses = []
+    for i in range(5):
+        state, stats = step(state, batch, jax.random.PRNGKey(2))
+        losses.append(float(stats["tot"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_eval_step(raw_batch):
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+    stats = jax.jit(trainer.eval_step)(state, batch)
+    assert np.isfinite(float(stats["tot"]))
+
+
+def test_parallel_train_step_8dev(raw_batch):
+    """Data-parallel step over the 8 virtual CPU devices."""
+    from sgtapose_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    big_raw = synthetic.make_raw_batch(jax.random.PRNGKey(5), 8)
+    batch = fn(jax.random.PRNGKey(1), big_raw)
+    batch = mesh_lib.shard_batch(batch, mesh)
+    pstep = trainer.make_parallel_train_step(mesh)
+    state, stats = pstep(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(stats["tot"]))
+    assert int(state.step) == 1
