@@ -1,0 +1,226 @@
+"""Streaming inference detector as a `lax.scan` over frames.
+
+Re-design of ref lib/sgta_detector.py:117-236 (SGTADetector.run) for TPU.
+The reference's per-frame loop is a host-side state machine: python PnP for
+the prior, numpy heatmap rendering, torch forward, GPU->CPU bounce for peak
+finding, numpy inverse affine — every frame. Here the entire recurrence is a
+single jitted scan with static shapes; the carry is exactly the reference's
+cross-frame state (sgta_detector.py:203, 232-234):
+
+  carry = (pre_img   — previous frame's preprocessed image,
+           detected_kps — (K, 2) RAW-frame keypoints, sentinel -999.999*4)
+
+Per frame (mirroring run()'s stages):
+  1. priors: first frame -> zeros (ref _get_additional_inputs :415-454);
+     else PnP from previous detections via `is_pnp` semantics with
+     fall-back-to-previous-detections on failure (ref
+     _get_further_dt_pnp_inputs[_real] :456-547, geometric_vision.py:283-310),
+     rendered at input res (pre/repro) + output res (per-class).
+  2. model forward (6 inputs) + clamped sigmoid      (ref process :881-927)
+  3. on-device peak decode + reg gather              (ref dream_generic_decode)
+  4. inverse output-affine to raw pixels             (ref post_process :929-942)
+  5. best-per-class detections -> (K, 2) raw kps or sentinel
+     (ref merge_outputs :955-961 score>out_thresh; _get_final_kps :608-651)
+
+Because the affine is fixed per video (no augmentation at test time), all
+frames are warped in one vmapped pass before the scan; the scan handles only
+the sequential dependency. Videos batch via vmap over the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgtapose_tpu.config import IMAGE_MEAN, IMAGE_STD, Config
+from sgtapose_tpu.core import geometry, pnp
+from sgtapose_tpu.decode import peaks as decode_lib
+
+KP_SENTINEL = -999.999 * 4  # missing-detection marker (ref sgta_detector.py:613)
+
+
+class VideoFrames(NamedTuple):
+    """Pre-warped per-video inputs (T frames, static shapes)."""
+
+    images: jnp.ndarray  # (T, H_in, W_in, 3) normalized network inputs
+    x3d: jnp.ndarray  # (T, K, 3) FK keypoint positions (robot or cam frame)
+
+
+class DetectorCarry(NamedTuple):
+    pre_img: jnp.ndarray  # (H_in, W_in, 3)
+    detected_kps: jnp.ndarray  # (K, 2) raw coords or KP_SENTINEL
+    frame_idx: jnp.ndarray  # () int32
+
+
+class FrameResult(NamedTuple):
+    detected_kps: jnp.ndarray  # (K, 2) raw coords or KP_SENTINEL
+    scores: jnp.ndarray  # (K,)
+
+
+def preprocess_frames(
+    raw_images: jnp.ndarray, cfg: Config
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Warp+normalize all frames of a video (fixed center/scale transform,
+    ref sgta_detector.py:354-399 fix_res path). Returns (images, trans_input,
+    trans_output)."""
+    T, H_raw, W_raw = raw_images.shape[0], raw_images.shape[1], raw_images.shape[2]
+    in_h, in_w = cfg.model.input_res
+    out_h, out_w = cfg.model.output_res
+    c = jnp.array([W_raw / 2.0, H_raw / 2.0], jnp.float32)
+    s = jnp.float32(max(H_raw, W_raw))
+    trans_input = geometry.get_affine_transform(c, s, 0.0, (in_w, in_h))
+    trans_output = geometry.get_affine_transform(c, s, 0.0, (out_w, out_h))
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGE_STD, jnp.float32)
+
+    def one(img):
+        warped = geometry.warp_affine(img.astype(jnp.float32), trans_input, (in_h, in_w))
+        return geometry.normalize_image(warped, mean, std)
+
+    return jax.vmap(one)(raw_images), trans_input, trans_output
+
+
+def _render_priors(
+    detected_kps: jnp.ndarray,
+    repro_kps: jnp.ndarray,
+    any_valid: jnp.ndarray,
+    trans_input: jnp.ndarray,
+    trans_output: jnp.ndarray,
+    cfg: Config,
+    raw_wh: Tuple[int, int],
+):
+    """pre/repro heatmaps at input res + per-class at output res. Sentinel
+    keypoints land outside the raw frame and render as nothing; if NO
+    detections were valid the maps are all-zero (ref empty-detection fallback
+    sgta_detector.py:476-479)."""
+    in_h, in_w = cfg.model.input_res
+    out_h, out_w = cfg.model.output_res
+    W_raw, H_raw = raw_wh
+    okf = any_valid.astype(jnp.float32)
+    pre_hm = geometry.render_prior_heatmap(
+        detected_kps, trans_input, in_w, in_h, W_raw, H_raw
+    ) * okf
+    repro_hm = geometry.render_prior_heatmap(
+        repro_kps, trans_input, in_w, in_h, W_raw, H_raw
+    ) * okf
+    pre_cls = geometry.render_prior_heatmap_cls(
+        detected_kps, trans_output, out_w, out_h, W_raw, H_raw
+    ) * okf
+    repro_cls = geometry.render_prior_heatmap_cls(
+        repro_kps, trans_output, out_w, out_h, W_raw, H_raw
+    ) * okf
+    return (
+        pre_hm[..., None],
+        repro_hm[..., None],
+        jnp.moveaxis(pre_cls, 0, -1),
+        jnp.moveaxis(repro_cls, 0, -1),
+    )
+
+
+def _build_video_runner(
+    model_apply,
+    variables,
+    cfg: Config,
+    camera_K,
+    raw_hw: Tuple[int, int],
+):
+    """fn(video: VideoFrames) -> FrameResult stacked over T (unjitted).
+
+    model_apply: bound flax apply (variables, 6 inputs, train=False) -> heads.
+    raw_hw: raw video resolution (H_raw, W_raw) — static per camera.
+    """
+    H_raw, W_raw = raw_hw
+    in_h, in_w = cfg.model.input_res
+    out_h, out_w = cfg.model.output_res
+    K_cam = jnp.asarray(camera_K, jnp.float32)
+    n_kp = cfg.model.num_classes
+
+    c = jnp.array([W_raw / 2.0, H_raw / 2.0], jnp.float32)
+    s = jnp.float32(max(H_raw, W_raw))
+    trans_input = geometry.get_affine_transform(c, s, 0.0, (in_w, in_h))
+    trans_output = geometry.get_affine_transform(c, s, 0.0, (out_w, out_h))
+    trans_output_inv = geometry.invert_affine(trans_output)
+
+    def frame_step(carry: DetectorCarry, inp) -> Tuple[DetectorCarry, FrameResult]:
+        cur_img, prev_x3d, next_x3d = inp
+        first = carry.frame_idx == 0
+        # first frame: pre image := current image (ref sgta_detector.py:157-159)
+        pre_img = jnp.where(first, cur_img, carry.pre_img)
+
+        # ---- structure prior ------------------------------------------------
+        valid = jnp.all(carry.detected_kps > KP_SENTINEL, axis=1)
+        ok, repro = pnp.pnp_reprojection_prior(
+            prev_x3d, carry.detected_kps, next_x3d, K_cam, valid
+        )
+        # PnP failure -> reuse previous detections (is_pnp fallback)
+        repro = jnp.where(ok, repro, carry.detected_kps)
+        any_valid = jnp.any(valid) & ~first
+        pre_hm, repro_hm, pre_cls, repro_cls = _render_priors(
+            carry.detected_kps, repro, any_valid, trans_input, trans_output,
+            cfg, (W_raw, H_raw),
+        )
+
+        # ---- model + decode -------------------------------------------------
+        out = model_apply(
+            variables,
+            cur_img[None],
+            pre_img[None],
+            pre_hm[None],
+            repro_hm[None],
+            pre_cls[None],
+            repro_cls[None],
+        )
+        hm = jnp.clip(jax.nn.sigmoid(out["hm"][0]), 1e-4, 1 - 1e-4)
+        dec = decode_lib.decode_heatmaps(
+            hm,
+            out["reg"][0],
+            out["tracking"][0],
+            max_peaks=cfg.infer.max_peaks,
+            peak_thresh=cfg.infer.peak_thresh,
+            ambiguity_gap=cfg.infer.ambiguity_gap,
+            peak_offset=cfg.infer.peak_offset,
+            sigma=cfg.infer.peak_sigma,
+        )
+
+        # ---- back to raw coords + thresholds --------------------------------
+        raw_kps = geometry.affine_points(dec.coords, trans_output_inv)
+        keep = dec.valid & (dec.scores > cfg.infer.out_thresh)
+        detected = jnp.where(keep[:, None], raw_kps, KP_SENTINEL)
+        scores = jnp.where(keep, dec.scores, -1.0)
+
+        new_carry = DetectorCarry(
+            pre_img=cur_img,
+            detected_kps=detected,
+            frame_idx=carry.frame_idx + 1,
+        )
+        return new_carry, FrameResult(detected_kps=detected, scores=scores)
+
+    def run_video(video: VideoFrames) -> FrameResult:
+        T = video.images.shape[0]
+        # prior PnP for frame t uses frame t-1's 3D keypoints
+        prev_x3d = jnp.concatenate([video.x3d[:1], video.x3d[:-1]], axis=0)
+        init = DetectorCarry(
+            pre_img=jnp.zeros_like(video.images[0]),
+            detected_kps=jnp.full((n_kp, 2), KP_SENTINEL, jnp.float32),
+            frame_idx=jnp.int32(0),
+        )
+        _, results = jax.lax.scan(frame_step, init, (video.images, prev_x3d, video.x3d))
+        return results
+
+    return run_video
+
+
+def make_video_detector(model_apply, variables, cfg, camera_K, raw_hw):
+    """Jitted single-video detector: fn(VideoFrames) -> FrameResult over T."""
+    return jax.jit(_build_video_runner(model_apply, variables, cfg, camera_K, raw_hw))
+
+
+def make_batched_video_detector(model_apply, variables, cfg, camera_K, raw_hw):
+    """Batch across videos (frames are sequentially dependent; videos are
+    not — SURVEY.md §7.7 'batch across videos'). fn(stacked VideoFrames with
+    leading video dim) -> stacked FrameResult."""
+    runner = _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw)
+    return jax.jit(jax.vmap(runner))

@@ -1,0 +1,146 @@
+"""Detector scan + metric harness tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtapose_tpu.config import Config, ModelConfig, TrainConfig
+from sgtapose_tpu.core import geometry
+from sgtapose_tpu.data import synthetic
+from sgtapose_tpu.eval import metrics
+from sgtapose_tpu.infer import detector as det_lib
+from sgtapose_tpu.models.sgta import create_model
+
+TINY = Config(
+    model=ModelConfig(input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1), dla_node="conv"),
+)
+
+
+# -----------------------------------------------------------------------------
+# metrics
+# -----------------------------------------------------------------------------
+
+
+def test_keypoint_metrics_perfect():
+    gt = np.array([[10.0, 10.0], [50.0, 70.0], [300.0, 200.0]])
+    m = metrics.keypoint_metrics(gt.copy(), gt, (640, 360))
+    assert m["num_gt_inframe"] == 3
+    assert m["num_found_gt_inframe"] == 3
+    assert m["l2_error_mean_px"] == 0.0
+    # strict `<` comparison: the zero-error bin contributes nothing at thr=0,
+    # so perfect detections give (12 - 0.005 - 0.01/2)/12 ~ 0.99875, exactly
+    # like the reference's trapezoid
+    assert m["l2_error_auc"] == pytest.approx(0.99875, abs=1e-3)
+
+
+def test_keypoint_metrics_buckets():
+    gt = np.array([[10.0, 10.0], [-5.0, 10.0], [50.0, 50.0]])
+    det = np.array([[11.0, 10.0], [-999.999, -999.999], [-999.999, -999.999]])
+    m = metrics.keypoint_metrics(det, gt, (640, 360))
+    assert m["num_gt_outframe"] == 1
+    assert m["num_missing_gt_outframe"] == 1
+    assert m["num_gt_inframe"] == 2
+    assert m["num_found_gt_inframe"] == 1
+    assert m["num_missing_gt_inframe"] == 1
+
+
+def test_keypoint_metrics_syn_gap():
+    """syn mode: 140px horizontal gap marks side regions out-of-frame."""
+    gt = np.array([[100.0, 50.0], [320.0, 50.0]])  # x=100 < 140 -> outframe
+    det = gt.copy()
+    m = metrics.keypoint_metrics(det, gt, (640, 360), syn=True)
+    assert m["num_gt_outframe"] == 1
+    assert m["num_gt_inframe"] == 1
+
+
+def test_pnp_metrics_auc():
+    adds = np.array([0.01, 0.02, -999.99, 0.05])
+    n_inframe = np.array([7, 7, 7, 7])
+    m = metrics.pnp_metrics(adds, n_inframe)
+    assert m["num_pnp_possible"] == 4
+    assert m["num_pnp_found"] == 3
+    assert 0.0 < m["add_auc"] < 1.0
+    # hand-check: mean of per-frame clamped (1 - add/0.06) contributions / 4
+    expect = sum(max(0.0, 1 - a / 0.06) for a in [0.01, 0.02, 0.05]) / 4
+    assert m["add_auc"] == pytest.approx(expect, abs=0.01)
+
+
+def test_compute_add_perfect_detection(rng):
+    """Detections == GT projections -> recovered transform ~ identity -> ADD ~ 0."""
+    K = np.asarray(synthetic.camera_K())
+    q = rng.randn(4); q /= np.linalg.norm(q)
+    R = np.asarray(geometry.quat_to_matrix(jnp.asarray(np.float32(q))))
+    t = np.array([0.05, -0.02, 1.6], np.float32)
+    x3d_cam = (np.asarray(synthetic.SKELETON) @ R.T + t).astype(np.float32)
+    proj = x3d_cam @ K.T
+    proj = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
+    adds, succ = metrics.compute_add_batch(
+        proj[None], proj[None], x3d_cam[None], K, rf=False
+    )
+    assert bool(succ[0])
+    assert adds[0] < 5e-3
+
+    # with LM refinement, never worse (min guard)
+    adds_rf, _ = metrics.compute_add_batch(proj[None], proj[None], x3d_cam[None], K, rf=True)
+    assert adds_rf[0] <= adds[0] + 1e-6
+
+
+def test_compute_add_noisy_refinement_helps(rng):
+    K = np.asarray(synthetic.camera_K())
+    q = rng.randn(4); q /= np.linalg.norm(q)
+    R = np.asarray(geometry.quat_to_matrix(jnp.asarray(np.float32(q))))
+    t = np.array([0.05, -0.02, 1.6], np.float32)
+    x3d_cam = (np.asarray(synthetic.SKELETON) @ R.T + t).astype(np.float32)
+    proj = x3d_cam @ K.T
+    proj = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
+    noisy = proj + rng.randn(*proj.shape).astype(np.float32) * 2.0
+    adds, succ = metrics.compute_add_batch(noisy[None], proj[None], x3d_cam[None], K, rf=True)
+    assert bool(succ[0])
+    assert adds[0] < 0.05  # few-cm ADD from 2px noise
+
+
+def test_count_inframe():
+    projs = np.array([[[10.0, 10.0], [-1.0, 5.0], [639.0, 359.0], [700.0, 100.0]]])
+    assert metrics.count_inframe_gt(projs, (640, 360))[0] == 2
+
+
+# -----------------------------------------------------------------------------
+# detector scan
+# -----------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_detector_scan_runs():
+    """Untrained model: the scan must run end-to-end with finite outputs and
+    correct shapes/carry semantics."""
+    model = create_model(TINY.model)
+    T, n_kp = 3, 7
+    projs, imgs = synthetic.make_sequence(jax.random.PRNGKey(0), T)
+    images, _, _ = det_lib.preprocess_frames(imgs, TINY)
+    x3d = jnp.tile(synthetic.SKELETON[None], (T, 1, 1))
+
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        images[:1], images[:1],
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 16, 16, 7)), jnp.zeros((1, 16, 16, 7)),
+        train=False,
+    )
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    run = det_lib.make_video_detector(
+        apply, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )
+    res = run(det_lib.VideoFrames(images=images, x3d=x3d))
+    assert res.detected_kps.shape == (T, n_kp, 2)
+    assert res.scores.shape == (T, n_kp)
+    kps = np.asarray(res.detected_kps)
+    assert np.isfinite(kps).all()
+    # every keypoint either sentinel or inside a sane raw-coordinate range
+    sent = kps <= det_lib.KP_SENTINEL + 1e-3
+    inrange = (kps > -3000) & (kps < 3000)
+    assert np.all(sent | inrange)
