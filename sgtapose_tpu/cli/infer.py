@@ -1,0 +1,168 @@
+"""Inference + evaluation entry point.
+
+Rebuild of ref sgtapose/inference.py (:60-294 inference / inference_real) +
+scripts/inference_scripts.sh:
+  python -m sgtapose_tpu.cli.infer --dataset DIR --ckpt CKPT_DIR \
+      [--is_real panda-orb --split_info dream_real_info/...json] \
+      --output_dir OUT [--rf]
+
+Synthetic mode walks per-video directories (NNNN_color.png + NNNN_meta.json);
+real mode reads DREAM-real video splits. Per video the scan detector runs all
+frames in one device program, then the analysis harness produces
+PCK / ADD-AUC metrics + CSV artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgtapose_tpu.config import KEYPOINT_NAMES, SYNTHETIC_CAMERA_K, Config, ModelConfig
+from sgtapose_tpu.data import loaders
+from sgtapose_tpu.eval.analysis import analyze_sequence_results
+from sgtapose_tpu.infer import detector as det_lib
+from sgtapose_tpu.models.sgta import create_model
+from sgtapose_tpu.train import trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("sgtapose_tpu infer")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--output_dir", default="results/default")
+    p.add_argument("--robot", default="panda_synthetic")
+    p.add_argument("--object_name", default=None)
+    p.add_argument("--is_real", default=None, help="real set name (e.g. panda-orb)")
+    p.add_argument("--split_info", default=None, help="real split json path")
+    p.add_argument("--arch", default="dlapawdl3new_34")
+    p.add_argument("--input_res", type=int, default=480)
+    p.add_argument("--dla_node", default="dcn", choices=["dcn", "conv"])
+    p.add_argument("--kernel_list", default="12,6,3,1,1,1",
+                   help="per-level attention window sizes (ref ks1..ks6)")
+    p.add_argument("--rf", action="store_true", help="LM pose refinement")
+    p.add_argument("--max_videos", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def list_synthetic_videos(dataset_dir: str) -> Dict[str, List[str]]:
+    """video name -> ordered frame basenames (without suffix)."""
+    videos = {}
+    for vd in sorted(os.listdir(dataset_dir)):
+        full = os.path.join(dataset_dir, vd)
+        if not os.path.isdir(full):
+            continue
+        frames = sorted(
+            f[:-len("_color.png")] for f in os.listdir(full) if f.endswith("_color.png")
+        )
+        if len(frames) >= 2:
+            videos[vd] = frames
+    return videos
+
+
+def run_synthetic(args, cfg: Config, model, variables):
+    camera_K = np.asarray(SYNTHETIC_CAMERA_K)
+    kp_names = KEYPOINT_NAMES[args.robot]
+    object_name = args.object_name or args.robot
+    videos = list_synthetic_videos(args.dataset)
+    names = list(videos)[: args.max_videos] if args.max_videos else list(videos)
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    all_det, all_gt, all_pos, sample_names = [], [], [], []
+    run = None
+    raw_hw = None
+    t_total, n_frames = 0.0, 0
+    for vname in names:
+        frames = videos[vname]
+        imgs, projs, pos_cam, x3d_rob = [], [], [], []
+        for f in frames:
+            img = loaders.load_image(os.path.join(args.dataset, vname, f + "_color.png"))
+            kp = loaders.load_seq_keypoints(
+                os.path.join(args.dataset, vname, f + "_meta.json"),
+                object_name, kp_names, camera_K,
+            )
+            imgs.append(img)
+            projs.append(kp["projections"])
+            pos_cam.append(kp["positions_wrt_cam"])
+            x3d_rob.append(kp["positions_wrt_robot"])
+        imgs = jnp.asarray(np.stack(imgs))
+        if raw_hw is None:
+            raw_hw = (imgs.shape[1], imgs.shape[2])
+            run = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
+        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
+        video = det_lib.VideoFrames(
+            images=images, x3d=jnp.asarray(np.stack(x3d_rob), jnp.float32)
+        )
+        t0 = time.perf_counter()
+        res = run(video)
+        jax.block_until_ready(res.detected_kps)
+        t_total += time.perf_counter() - t0
+        n_frames += len(frames)
+
+        all_det.append(np.asarray(res.detected_kps))
+        all_gt.append(np.stack(projs))
+        all_pos.append(np.stack(pos_cam))
+        sample_names += [f"{vname}/{f}" for f in frames]
+        print(f"{vname}: {len(frames)} frames")
+
+    det = np.concatenate(all_det)
+    gt = np.concatenate(all_gt)
+    pos = np.concatenate(all_pos)
+    print(f"inference: {n_frames} frames in {t_total:.2f}s "
+          f"({n_frames / max(t_total, 1e-9):.1f} fps)")
+
+    results = analyze_sequence_results(
+        det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
+        (raw_hw[1], raw_hw[0]), args.output_dir, set_name="syn",
+        sample_names=sample_names, rf=args.rf, syn=True,
+    )
+    # dt_and_json equivalent (ref inference.py:243-262)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "dt_and_gt.json"), "w") as f:
+        json.dump(
+            {
+                "names": sample_names,
+                "detections": det.tolist(),
+                "gt_projections": gt.tolist(),
+            },
+            f,
+        )
+    return results
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config(
+        model=ModelConfig(
+            arch=args.arch,
+            input_res=(args.input_res, args.input_res),
+            num_classes=len(KEYPOINT_NAMES[args.robot]),
+            dla_node=args.dla_node,
+            kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
+        ),
+        robot=args.robot,
+    )
+    model = create_model(cfg.model)
+    state = trainer.create_train_state(cfg, jax.random.PRNGKey(0), max_iters=1)
+    if args.ckpt:
+        state = trainer.load_checkpoint(os.path.abspath(args.ckpt), state)
+        print(f"loaded {args.ckpt}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results = run_synthetic(args, cfg, model, variables)
+    km, pm = results["keypoint_metrics"], results["pnp_metrics"]
+    print(f"PCK AUC@12px: {km['l2_error_auc']}")
+    print(f"ADD AUC@0.06m: {pm['add_auc']}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Training entry point.
+
+Rebuild of ref sgtapose/train.py (:171-278 main) + scripts/train_scripts.sh:
+  python -m sgtapose_tpu.cli.train --dataset DIR [--add_dataset DIR]
+      [--val_dataset DIR] --output_dir OUT [--num_epochs 20] ...
+
+Differences from the reference runtime (by design):
+  * one process drives the whole mesh (jit SPMD) — no torch.distributed.launch
+  * augmentation/priors/rendering on device — host workers only decode files
+  * checkpoints are orbax directories ckpt/epoch_{e}
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from sgtapose_tpu.config import (
+    KEYPOINT_NAMES,
+    SYNTHETIC_CAMERA_K,
+    Config,
+    ModelConfig,
+    TrainConfig,
+)
+from sgtapose_tpu.data.discovery import find_ndds_seq_data_in_dir
+from sgtapose_tpu.data.loader import SeqBatchLoader
+from sgtapose_tpu.data.pipeline import make_batch_fn
+from sgtapose_tpu.parallel import mesh as mesh_lib
+from sgtapose_tpu.train import trainer
+from sgtapose_tpu.utils.logging import MetricsLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("sgtapose_tpu train")
+    p.add_argument("--dataset", required=True, help="training data dir (NDDS seq format)")
+    p.add_argument("--add_dataset", default=None, help="optional second dir to concat")
+    p.add_argument("--val_dataset", default=None)
+    p.add_argument("--output_dir", default="exp/default")
+    p.add_argument("--robot", default="panda_synthetic")
+    p.add_argument("--object_name", default=None,
+                   help="'ROBOT NAME' tag in the meta jsons (default: --robot)")
+    p.add_argument("--arch", default="dlapawdl3new_34")
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=4, help="per device")
+    p.add_argument("--lr", type=float, default=1.25e-4)
+    p.add_argument("--seed", type=int, default=317)
+    p.add_argument("--hm_disturb", type=float, default=0.75)
+    p.add_argument("--lost_disturb", type=float, default=0.2)
+    p.add_argument("--fp_disturb", type=float, default=0.1)
+    p.add_argument("--input_res", type=int, default=480)
+    p.add_argument("--dla_node", default="dcn", choices=["dcn", "conv"])
+    p.add_argument("--kernel_list", default="12,6,3,1,1,1",
+                   help="per-level attention window sizes (ref ks1..ks6)")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--log_every", type=int, default=50)
+    return p.parse_args(argv)
+
+
+def build_config(args) -> Config:
+    return Config(
+        model=ModelConfig(
+            arch=args.arch,
+            input_res=(args.input_res, args.input_res),
+            num_classes=len(KEYPOINT_NAMES[args.robot]),
+            dla_node=args.dla_node,
+            kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
+        ),
+        train=TrainConfig(
+            lr=args.lr,
+            num_epochs=args.num_epochs,
+            batch_size_per_device=args.batch_size,
+            seed=args.seed,
+            hm_disturb=args.hm_disturb,
+            lost_disturb=args.lost_disturb,
+            fp_disturb=args.fp_disturb,
+        ),
+        robot=args.robot,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = MetricsLogger(args.output_dir)
+
+    mesh = mesh_lib.make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    global_batch = cfg.train.batch_size_per_device * n_dev
+    print(f"devices={n_dev} global_batch={global_batch}")
+
+    # dataset discovery (+ optional concat, ref train.py:193-202)
+    pairs = find_ndds_seq_data_in_dir(args.dataset)
+    if args.add_dataset:
+        pairs = pairs + find_ndds_seq_data_in_dir(args.add_dataset)
+    print(f"train pairs: {len(pairs)}")
+
+    camera_K = np.asarray(SYNTHETIC_CAMERA_K)
+    object_name = args.object_name or args.robot
+    loader = SeqBatchLoader(
+        pairs, cfg, camera_K, object_name,
+        KEYPOINT_NAMES[args.robot], global_batch, seed=args.seed,
+    )
+    val_loader = None
+    if args.val_dataset:
+        val_pairs = find_ndds_seq_data_in_dir(args.val_dataset)
+        val_loader = SeqBatchLoader(
+            val_pairs, cfg, camera_K, object_name, KEYPOINT_NAMES[args.robot],
+            global_batch, shuffle=False,
+        )
+
+    iters_per_epoch = len(loader)
+    max_iters = max(iters_per_epoch * cfg.train.num_epochs, 1)
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.create_train_state(cfg, rng, max_iters=max_iters)
+    if args.resume:
+        state = trainer.load_checkpoint(os.path.abspath(args.resume), state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    batch_fn = make_batch_fn(cfg, camera_K)
+    pstep = trainer.make_parallel_train_step(
+        mesh,
+        hm_weight=cfg.train.hm_weight,
+        reg_weight=cfg.train.reg_weight,
+        tracking_weight=cfg.train.tracking_weight,
+    )
+    eval_fn = jax.jit(trainer.eval_step)
+    drop_rng = jax.random.PRNGKey(args.seed + 1)
+
+    for epoch in range(1, cfg.train.num_epochs + 1):
+        t0 = time.time()
+        for it, raw in enumerate(loader.epoch(epoch)):
+            brng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 2), int(state.step))
+            batch = batch_fn(brng, jax.tree_util.tree_map(np.asarray, raw))
+            batch = mesh_lib.shard_batch(batch, mesh)
+            state, stats = pstep(state, batch, drop_rng)
+            if it % args.log_every == 0:
+                s = {k: float(v) for k, v in stats.items()}
+                logger.log(int(state.step), s)
+                print(
+                    f"epoch {epoch} it {it}/{iters_per_epoch} "
+                    + " ".join(f"{k}={v:.5f}" for k, v in s.items())
+                )
+        # checkpoint per epoch (ref train.py:264-265)
+        ckpt = os.path.abspath(os.path.join(args.output_dir, "ckpt", f"epoch_{epoch}"))
+        trainer.save_checkpoint(ckpt, state)
+        print(f"epoch {epoch} done in {time.time()-t0:.1f}s -> {ckpt}")
+
+        if val_loader is not None:
+            vals = []
+            for raw in val_loader.epoch(0):
+                batch = batch_fn(jax.random.PRNGKey(0), jax.tree_util.tree_map(np.asarray, raw))
+                vals.append({k: float(v) for k, v in eval_fn(state, batch).items()})
+            mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}
+            logger.log(int(state.step), mean, prefix="val")
+            print(f"epoch {epoch} val: {mean}")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

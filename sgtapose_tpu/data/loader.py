@@ -1,0 +1,114 @@
+"""Host-side batch loader: PNG decode + JSON parse on worker threads, feeding
+the on-device augmentation pipeline.
+
+Replaces the reference's torch DataLoader + CenterTrackSeqDataset host work
+(ref train.py:251-260, datasets.py:61-213) — but the host only does IO here;
+augmentation/priors/rendering happen on device (data/pipeline.py). Double-
+buffered prefetch overlaps IO with TPU compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sgtapose_tpu.config import Config
+from sgtapose_tpu.data.discovery import FramePair, remap_seq_frame
+from sgtapose_tpu.data.loaders import load_image, load_seq_keypoints
+from sgtapose_tpu.data.pipeline import RawSample
+
+
+class SeqBatchLoader:
+    """Iterates epochs of collated RawSample batches.
+
+    seq_frame remapping (ref datasets.py:63-91) is applied per epoch; order is
+    shuffled with a numpy Generator seeded per epoch (DistributedSampler
+    set_epoch equivalent).
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[FramePair],
+        cfg: Config,
+        camera_K: np.ndarray,
+        robot_name: str,
+        keypoint_names: Sequence[str],
+        batch_size: int,
+        seed: int = 317,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        drop_last: bool = True,
+    ):
+        self.pairs = list(pairs)
+        self.cfg = cfg
+        self.camera_K = np.asarray(camera_K)
+        self.robot_name = robot_name
+        self.keypoint_names = list(keypoint_names)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return len(self.pairs) // self.batch_size
+        return (len(self.pairs) + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, pair: FramePair) -> RawSample:
+        pair = remap_seq_frame(pair, self.cfg.train.seq_frame)
+        prev_kp = load_seq_keypoints(
+            pair.prev_data_path, self.robot_name, self.keypoint_names, self.camera_K
+        )
+        next_kp = load_seq_keypoints(
+            pair.next_data_path, self.robot_name, self.keypoint_names, self.camera_K
+        )
+        return RawSample(
+            prev_img=load_image(pair.prev_img_path),
+            next_img=load_image(pair.next_img_path),
+            prev_projs=prev_kp["projections"].astype(np.float32),
+            next_projs=next_kp["projections"].astype(np.float32),
+            prev_x3d_rob=prev_kp["positions_wrt_robot"].astype(np.float32),
+            next_x3d_rob=next_kp["positions_wrt_robot"].astype(np.float32),
+        )
+
+    def _collate(self, samples: List[RawSample]) -> RawSample:
+        return RawSample(*(np.stack([getattr(s, f) for s in samples]) for f in RawSample._fields))
+
+    def epoch(self, epoch_idx: int) -> Iterator[RawSample]:
+        order = np.arange(len(self.pairs))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+
+        n_batches = len(self)
+        batch_indices = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idxs in batch_indices:
+                    if stop.is_set():
+                        return
+                    samples = [self._load_one(self.pairs[i]) for i in idxs]
+                    q.put(self._collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -104,3 +104,64 @@ def make_raw_batch(rng: jax.Array, batch_size: int) -> RawSample:
         )
 
     return jax.vmap(one)(rngs)
+
+
+# -----------------------------------------------------------------------------
+# On-disk synthetic dataset (NDDS-seq format the loaders understand)
+# -----------------------------------------------------------------------------
+
+
+def write_synthetic_dataset(
+    out_dir: str,
+    n_videos: int = 2,
+    n_frames: int = 4,
+    seed: int = 0,
+    robot_name: str = "panda_synthetic",
+):
+    """Write NNNN_color.png + NNNN_meta.json videos in the synthetic format
+    (per-keypoint location_wrt_cam + frame-level 'R2C Mat' — the structure
+    ref utilities.py:665-729 parses). The robot frame is anchored at
+    keypoint 0, so 'location_wrt_cam' of keypoint 0 doubles as the frame
+    translation, exactly like the reference data."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    kp_names = [
+        "Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand",
+    ]
+    rng = jax.random.PRNGKey(seed)
+    for v in range(n_videos):
+        vdir = os.path.join(out_dir, f"{v:05d}")
+        os.makedirs(vdir, exist_ok=True)
+        rv = jax.random.fold_in(rng, v)
+        q0, t0 = random_pose(rv)
+        dq = jax.random.normal(jax.random.fold_in(rv, 1), (4,)) * 0.01
+        dt = jax.random.normal(jax.random.fold_in(rv, 2), (3,)) * 0.01
+        for f in range(n_frames):
+            q = q0 + dq * f
+            q = q / jnp.linalg.norm(q)
+            t = t0 + dt * f
+            R = geometry.quat_to_matrix(q)
+            pos_cam = np.asarray(geometry.transform_points(SKELETON, R, t))
+            projs = np.asarray(geometry.project_points(SKELETON, R, t, jnp.asarray(K, jnp.float32)))
+            img = np.asarray(render_frame(jnp.asarray(projs))).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(vdir, f"{f:04d}_color.png"))
+            meta = [
+                {
+                    "ROBOT NAME": robot_name,
+                    "keypoints": [
+                        {
+                            "Name": name,
+                            "location_wrt_cam": pos_cam[i].tolist(),
+                            "R2C Mat": np.asarray(R).tolist(),
+                        }
+                        for i, name in enumerate(kp_names)
+                    ],
+                }
+            ]
+            with open(os.path.join(vdir, f"{f:04d}_meta.json"), "w") as fp:
+                json.dump(meta, fp)

@@ -1,0 +1,127 @@
+"""Detection-to-track association (CenterTrack-style).
+
+Capability rebuild of ref lib/utils/tracker.py:29-145: each detection carries
+a predicted backward displacement (`tracking` head); candidate matches are
+previous tracks whose center lies near (ct + tracking), gated by a fixed
+distance threshold; assignment is greedy (score order) or Hungarian.
+
+Host-side numpy: association is marginal in this system (keypoints are
+matched per-class inside the detector — ref sgta_detector.py:198-202 wires
+the tracker but the final kps come from _get_final_kps), kept for API parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Track:
+    track_id: int
+    ct: np.ndarray  # (2,) center
+    cls: int
+    score: float
+    age: int = 0
+    active: int = 1
+
+
+def greedy_assignment(dist: np.ndarray, gate: float) -> List[tuple]:
+    """Row-major greedy matching (ref tracker.py:136-145)."""
+    matches = []
+    used = set()
+    for i in range(dist.shape[0]):
+        j = int(np.argmin(dist[i])) if dist.shape[1] else -1
+        if j >= 0 and dist[i, j] < gate and j not in used:
+            used.add(j)
+            matches.append((i, j))
+    return matches
+
+
+def hungarian_assignment(dist: np.ndarray, gate: float) -> List[tuple]:
+    from scipy.optimize import linear_sum_assignment
+
+    if dist.size == 0:
+        return []
+    rows, cols = linear_sum_assignment(dist)
+    return [(int(i), int(j)) for i, j in zip(rows, cols) if dist[i, j] < gate]
+
+
+class Tracker:
+    def __init__(self, gate: float = 0.2, hungarian: bool = False, max_age: int = 1):
+        self.gate = gate
+        self.hungarian = hungarian
+        self.max_age = max_age
+        self.tracks: List[Track] = []
+        self._next_id = 1
+
+    def init_track(self, detections: Optional[List[Dict]] = None):
+        self.tracks = []
+        self._next_id = 1
+        for det in detections or []:
+            self._new_track(det)
+
+    def _new_track(self, det: Dict) -> Track:
+        t = Track(
+            track_id=self._next_id,
+            ct=np.asarray(det["ct"], np.float64),
+            cls=int(det.get("class", 0)),
+            score=float(det.get("score", 1.0)),
+        )
+        self._next_id += 1
+        self.tracks.append(t)
+        return t
+
+    def step(self, detections: List[Dict]) -> List[Dict]:
+        """detections: [{'ct': (2,), 'tracking': (2,), 'score', 'class'}].
+        Returns detections annotated with 'tracking_id'."""
+        if not self.tracks:
+            out = []
+            for det in detections:
+                t = self._new_track(det)
+                out.append({**det, "tracking_id": t.track_id})
+            return out
+
+        det_pred = np.array(
+            [np.asarray(d["ct"]) + np.asarray(d.get("tracking", (0.0, 0.0))) for d in detections]
+        ).reshape(-1, 2)
+        trk_ct = np.array([t.ct for t in self.tracks]).reshape(-1, 2)
+        dist = np.linalg.norm(det_pred[:, None, :] - trk_ct[None, :, :], axis=2)
+        # class-mismatch veto (ref builds per-class invalid mask)
+        for i, d in enumerate(detections):
+            for j, t in enumerate(self.tracks):
+                if int(d.get("class", 0)) != t.cls:
+                    dist[i, j] = 1e18
+
+        assign = hungarian_assignment if self.hungarian else greedy_assignment
+        matches = assign(dist, self.gate)
+
+        out = []
+        matched_tracks = set()
+        matched_dets = set()
+        for i, j in matches:
+            t = self.tracks[j]
+            t.ct = np.asarray(detections[i]["ct"], np.float64)
+            t.score = float(detections[i].get("score", 1.0))
+            t.age = 0
+            t.active = 1
+            matched_tracks.add(j)
+            matched_dets.add(i)
+            out.append({**detections[i], "tracking_id": t.track_id})
+        for i, det in enumerate(detections):
+            if i not in matched_dets:
+                t = self._new_track(det)
+                out.append({**det, "tracking_id": t.track_id})
+        survivors = []
+        for j, t in enumerate(self.tracks):
+            if j in matched_tracks or t.track_id >= self._next_id - len(detections):
+                survivors.append(t)
+            else:
+                t.age += 1
+                t.active = 0
+                if t.age <= self.max_age:
+                    survivors.append(t)
+        self.tracks = survivors
+        return out

@@ -1,0 +1,65 @@
+"""End-to-end CLI test: synthetic dataset on disk -> train -> checkpoint ->
+infer -> metrics artifacts (the BASELINE 'syn_test single video, CPU-runnable'
+slice)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sgtapose_tpu.data.synthetic import write_synthetic_dataset
+
+COMMON = [
+    "--robot", "panda_synthetic",
+    "--input_res", "64",
+    "--dla_node", "conv",
+    "--kernel_list", "3,3,3,1,1,1",
+]
+
+
+@pytest.mark.slow
+def test_train_then_infer(tmp_path):
+    train_dir = str(tmp_path / "train_data")
+    out_dir = str(tmp_path / "exp")
+    res_dir = str(tmp_path / "results")
+    write_synthetic_dataset(train_dir, n_videos=2, n_frames=3, seed=0)
+
+    from sgtapose_tpu.cli import train as train_cli
+
+    train_cli.main(
+        [
+            "--dataset", train_dir,
+            "--output_dir", out_dir,
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+        ]
+        + COMMON
+    )
+    ckpt = os.path.join(out_dir, "ckpt", "epoch_1")
+    assert os.path.isdir(ckpt)
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+    from sgtapose_tpu.cli import infer as infer_cli
+
+    results = infer_cli.main(
+        [
+            "--dataset", train_dir,
+            "--ckpt", ckpt,
+            "--output_dir", res_dir,
+            "--rf",
+        ]
+        + COMMON
+    )
+    km = results["keypoint_metrics"]
+    pm = results["pnp_metrics"]
+    assert km["num_gt_inframe"] > 0
+    assert pm["num_pnp_possible"] > 0
+    # artifacts written
+    for f in ["syn_keypoints.csv", "syn_pnp_results.csv", "syn_analysis_results.txt", "dt_and_gt.json"]:
+        assert os.path.exists(os.path.join(res_dir, f)), f
+    with open(os.path.join(res_dir, "dt_and_gt.json")) as fh:
+        blob = json.load(fh)
+    assert len(blob["names"]) == 6  # 2 videos x 3 frames
