@@ -1,0 +1,251 @@
+"""torch -> JAX checkpoint converter for the flagship arch.
+
+Maps the reference's `dlapawdl3new_34` state_dict (saved as {epoch,
+state_dict, optimizer} — ref lib/model/model.py:105-114, with DataParallel
+'module.' prefixes stripped like load_model :43-103) onto our Flax param /
+batch_stats trees, so reference-trained weights (e.g. the released
+pretrained_model/ckpt/model_20.pth) run in this framework.
+
+Layout transforms:
+  conv     torch (O, I, kh, kw)  -> flax (kh, kw, I, O)
+  linear   torch (O, I)          -> flax (I, O)
+  DCN main torch (O, I, 3, 3)    -> our 1x1 contraction (1, 1, 9*I, O),
+           tap-major row-major over the 3x3 window (matches
+           models/deform_conv.py's sample stacking)
+  depthwise ConvTranspose2d (C, 1, k, k) -> (k, k, 1, C)
+  BN       weight/bias/running_mean/running_var -> scale/bias + mean/var
+  first conv of 3-channel stems: input-channel flip (the reference trains on
+           cv2 BGR frames; our loader feeds RGB)
+
+Weight tying: the reference's TransformerEncoder serializes layers.0/1/2 with
+identical tensors (_get_clones reuses one instance, ref dla.py:788-789); we
+read layers.0.
+
+Known intentionally-unmapped reference params: base.base_layer.*,
+base.repro_hm_layer.* (unused by the l3new forward, ref dla.py:1506-1507),
+base.levelN.project/downsample of levels>1 trees (dead — see models/dla.py
+Tree docstring), base.fc (ImageNet classifier head), wh head (skipped by
+BaseModelPlanA).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _conv(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w):
+    return np.transpose(w)
+
+
+def _dcn_main(w):
+    o, i, kh, kw = w.shape
+    return np.transpose(w, (2, 3, 1, 0)).reshape(1, 1, kh * kw * i, o)
+
+
+def _up(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _basic_block(ref: str):
+    """our BasicBlock subpaths -> ref conv1/bn1/conv2/bn2 names."""
+    return {
+        "ConvBnAct_0/Conv_0/kernel": (f"{ref}.conv1.weight", _conv),
+        "ConvBnAct_0/BatchNorm_0": (f"{ref}.bn1", None),
+        "Conv_0/kernel": (f"{ref}.conv2.weight", _conv),
+        "BatchNorm_0": (f"{ref}.bn2", None),
+    }
+
+
+def _flag_map() -> Dict[str, Tuple[str, Optional[callable]]]:
+    """our param path -> (ref name/prefix, transform). BN entries map the
+    module prefix; scale/bias/mean/var resolve inside convert()."""
+    m: Dict[str, Tuple[str, Optional[callable]]] = {}
+
+    # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
+    m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
+    m["pre_img_stem/BatchNorm_0"] = ("base.pre_img_layer.1", None)
+    m["pre_hm_stem/Conv_0/kernel"] = ("base.pre_hm_layer.0.weight", _conv)
+    m["pre_hm_stem/BatchNorm_0"] = ("base.pre_hm_layer.1", None)
+
+    # conv levels
+    for lvl in (0, 1):
+        m[f"base/level{lvl}/Conv_0/kernel"] = (f"base.level{lvl}.0.weight", _conv)
+        m[f"base/level{lvl}/BatchNorm_0"] = (f"base.level{lvl}.1", None)
+
+    # trees. our tree path -> ref tree path for each levels-1 subtree with
+    # blocks + root + optional project
+    def add_leaf_tree(our: str, ref: str, has_project: bool):
+        for sub, (rname, tf) in _basic_block(f"{ref}.tree1").items():
+            m[f"{our}/tree1/{sub}"] = (rname, tf)
+        for sub, (rname, tf) in _basic_block(f"{ref}.tree2").items():
+            m[f"{our}/tree2/{sub}"] = (rname, tf)
+        m[f"{our}/root/Conv_0/kernel"] = (f"{ref}.root.conv.weight", _conv)
+        m[f"{our}/root/BatchNorm_0"] = (f"{ref}.root.bn", None)
+        if has_project:
+            m[f"{our}/project_conv/kernel"] = (f"{ref}.project.0.weight", _conv)
+            m[f"{our}/project_bn"] = (f"{ref}.project.1", None)
+
+    add_leaf_tree("base/level2", "base.level2", True)
+    add_leaf_tree("base/level5", "base.level5", True)
+    for lvl in (3, 4):
+        add_leaf_tree(f"base/level{lvl}/tree1", f"base.level{lvl}.tree1", True)
+        add_leaf_tree(f"base/level{lvl}/tree2", f"base.level{lvl}.tree2", False)
+
+    # decoder ida modules
+    def add_deform(our: str, ref: str):
+        m[f"{our}/conv/conv_offset_mask/kernel"] = (
+            f"{ref}.conv.conv_offset_mask.weight", _conv)
+        m[f"{our}/conv/conv_offset_mask/bias"] = (
+            f"{ref}.conv.conv_offset_mask.bias", None)
+        m[f"{our}/conv/kernel/kernel"] = (f"{ref}.conv.weight", _dcn_main)
+        m[f"{our}/conv/kernel/bias"] = (f"{ref}.conv.bias", None)
+        m[f"{our}/BatchNorm_0"] = (f"{ref}.actf.0", None)
+
+    ida_shapes = {"ida_0": (1,), "ida_1": (1, 2), "ida_2": (1, 2, 3)}
+    for ida, js in ida_shapes.items():
+        for j in js:
+            add_deform(f"dla_up/{ida}/proj_{j}", f"dla_up.{ida}.proj_{j}")
+            add_deform(f"dla_up/{ida}/node_{j}", f"dla_up.{ida}.node_{j}")
+            m[f"dla_up/{ida}/up_{j}/kernel"] = (f"dla_up.{ida}.up_{j}.weight", _up)
+    for j in (1, 2):
+        add_deform(f"ida_up/proj_{j}", f"ida_up.proj_{j}")
+        add_deform(f"ida_up/node_{j}", f"ida_up.node_{j}")
+        m[f"ida_up/up_{j}/kernel"] = (f"ida_up.up_{j}.weight", _up)
+
+    # temporal attention (weight-tied: read layers.0)
+    for i in range(3):
+        ref = f"transformer.{i}.layers.0"
+        our = f"transformer_{i}/layer"
+        for proj in ("w_q", "w_k", "w_v"):
+            m[f"{our}/cross_attn/{proj}/kernel"] = (
+                f"{ref}.cross_attn.{proj}.weight", _linear)
+        m[f"{our}/cross_attn/fc/kernel"] = (f"{ref}.cross_attn.fc.weight", _linear)
+        m[f"{our}/cross_attn/fc/bias"] = (f"{ref}.cross_attn.fc.bias", None)
+        m[f"{our}/cross_attn/pos_embed"] = (f"{ref}.cross_attn.pos_embed", None)
+        for ln, rn in (("norm1", "norm1"), ("norm3", "norm3")):
+            m[f"{our}/{ln}/scale"] = (f"{ref}.{rn}.weight", None)
+            m[f"{our}/{ln}/bias"] = (f"{ref}.{rn}.bias", None)
+        for lin in ("linear1", "linear2"):
+            m[f"{our}/{lin}/kernel"] = (f"{ref}.{lin}.weight", _linear)
+            m[f"{our}/{lin}/bias"] = (f"{ref}.{lin}.bias", None)
+
+    # cat layers
+    for i in range(6):
+        m[f"cat_layer_{i}/fc1/kernel"] = (f"cat_layer.{i}.0.weight", _linear)
+        m[f"cat_layer_{i}/fc1/bias"] = (f"cat_layer.{i}.0.bias", None)
+        m[f"cat_layer_{i}/fc2/kernel"] = (f"cat_layer.{i}.2.weight", _linear)
+        m[f"cat_layer_{i}/fc2/bias"] = (f"cat_layer.{i}.2.bias", None)
+
+    # heads (Sequential(conv3x3, ReLU, conv1x1) -> indices 0, 2)
+    for head in ("hm", "reg", "tracking"):
+        m[f"{head}/Conv_0/kernel"] = (f"{head}.0.weight", _conv)
+        m[f"{head}/Conv_0/bias"] = (f"{head}.0.bias", None)
+        m[f"{head}/Conv_1/kernel"] = (f"{head}.2.weight", _conv)
+        m[f"{head}/Conv_1/bias"] = (f"{head}.2.bias", None)
+    return m
+
+
+_BN_PARAM = {"scale": "weight", "bias": "bias"}
+_BN_STATS = {"mean": "running_mean", "var": "running_var"}
+
+
+def _tree_paths(tree, prefix=()):
+    import jax
+
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        yield "/".join(str(k.key) for k in path), leaf
+
+
+def convert_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    params,
+    batch_stats,
+    bgr_to_rgb: bool = True,
+    strict: bool = True,
+):
+    """Returns (new_params, new_batch_stats, report). Shapes are validated
+    against the provided trees (like load_model's shape-mismatch skip, but
+    strict by default)."""
+    import jax
+
+    sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
+    mapping = _flag_map()
+    used = set()
+    missing, mismatched = [], []
+
+    def lookup(our_path: str, expect_shape):
+        # direct leaf mapping, or BN module mapping + suffix
+        if our_path in mapping:
+            ref, tf = mapping[our_path]
+        else:
+            head, leaf = our_path.rsplit("/", 1)
+            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
+                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
+                ref, tf = mapping[head][0] + "." + suffix, None
+            else:
+                return None
+        if ref not in sd:
+            missing.append((our_path, ref))
+            return None
+        w = sd[ref]
+        if tf is not None:
+            w = tf(w)
+        if bgr_to_rgb and our_path == "pre_img_stem/Conv_0/kernel":
+            w = w[:, :, ::-1, :]
+        if tuple(w.shape) != tuple(expect_shape):
+            mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
+            return None
+        used.add(ref)
+        return w
+
+    def convert_tree(tree):
+        flat = {}
+        for path, leaf in _tree_paths(tree):
+            w = lookup(path, leaf.shape)
+            flat[path] = np.asarray(w, np.float32) if w is not None else np.asarray(leaf)
+        # rebuild nested
+        out = {}
+        for path, v in flat.items():
+            node = out
+            keys = path.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = v
+        return out
+
+    new_params = convert_tree(params)
+    new_stats = convert_tree(batch_stats)
+    unused = sorted(
+        k for k in sd
+        if k not in used
+        and not k.startswith(("base.base_layer", "base.repro_hm_layer", "base.fc"))
+        and ".project." not in k.replace("tree1.project", "")  # dead lvl projections
+        and not re.search(r"transformer\.\d\.layers\.[12]\.", k)  # tied copies
+        and not k.startswith("wh")
+        and "num_batches_tracked" not in k
+    )
+    report = {
+        "missing": missing,
+        "mismatched": mismatched,
+        "unused_ref_keys": unused,
+        "n_converted": len(used),
+    }
+    if strict and (missing or mismatched):
+        raise ValueError(f"conversion incomplete: {report}")
+    return new_params, new_stats, report
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pth ({epoch, state_dict, optimizer} or bare dict)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return {k: v.detach().numpy() for k, v in sd.items()}

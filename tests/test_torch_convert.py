@@ -1,0 +1,118 @@
+"""Checkpoint converter: every flagship param leaf must map to a reference
+state_dict name with the right shape transform."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgtapose_tpu.config import ModelConfig
+from sgtapose_tpu.models.sgta import SGTAPose
+from sgtapose_tpu.utils import torch_convert as tc
+
+
+@pytest.fixture(scope="module")
+def flagship_vars():
+    cfg = ModelConfig(input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1))
+    m = SGTAPose(cfg)
+    return m.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 16, 16, 7)), jnp.zeros((1, 16, 16, 7)),
+        train=False,
+    )
+
+
+def _inverse_shape(our_path, shape, tf):
+    """torch-side shape for a given flax leaf shape under transform tf."""
+    if tf is tc._conv:
+        kh, kw, i, o = shape
+        return (o, i, kh, kw)
+    if tf is tc._linear:
+        i, o = shape
+        return (o, i)
+    if tf is tc._dcn_main:
+        _, _, ni, o = shape
+        return (o, ni // 9, 3, 3)
+    if tf is tc._up:
+        k, _, _, c = shape
+        return (c, 1, k, k)
+    return tuple(shape)
+
+
+def build_fake_state_dict(params, batch_stats, rng):
+    mapping = tc._flag_map()
+    sd = {}
+    for tree in (params, batch_stats):
+        for path, leaf in tc._tree_paths(tree):
+            if path in mapping:
+                ref, tf = mapping[path]
+            else:
+                head, leafname = path.rsplit("/", 1)
+                suffix = tc._BN_PARAM.get(leafname) or tc._BN_STATS.get(leafname)
+                assert head in mapping and suffix, f"unmapped path: {path}"
+                ref, tf = mapping[head][0] + "." + suffix, None
+            shape = _inverse_shape(path, leaf.shape, tf)
+            sd[ref] = rng.randn(*shape).astype(np.float32) if shape else np.float32(rng.randn())
+    return sd
+
+
+def test_full_coverage_and_shapes(flagship_vars, rng):
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    sd = build_fake_state_dict(params, stats, rng)
+    new_params, new_stats, report = tc.convert_state_dict(
+        sd, params, stats, strict=True
+    )
+    assert not report["missing"]
+    assert not report["mismatched"]
+    # every leaf shape preserved
+    for (p1, a), (p2, b) in zip(
+        tc._tree_paths(params), tc._tree_paths(new_params)
+    ):
+        assert p1 == p2 and tuple(np.shape(b)) == tuple(a.shape), p1
+
+
+def test_conv_transform_numerics(flagship_vars, rng):
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    sd = build_fake_state_dict(params, stats, rng)
+    new_params, _, _ = tc.convert_state_dict(sd, params, stats, strict=True, bgr_to_rgb=False)
+    # conv: torch (O,I,kh,kw) -> flax (kh,kw,I,O)
+    w_t = sd["base.level0.0.weight"]
+    w_f = new_params["base"]["level0"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(w_f, np.transpose(w_t, (2, 3, 1, 0)))
+    # linear: torch (O,I) -> (I,O)
+    l_t = sd["cat_layer.0.0.weight"]
+    l_f = new_params["cat_layer_0"]["fc1"]["kernel"]
+    np.testing.assert_allclose(l_f, l_t.T)
+    # DCN main: tap-major flatten
+    d_t = sd["ida_up.node_1.conv.weight"]  # (O,I,3,3)
+    d_f = new_params["ida_up"]["node_1"]["conv"]["kernel"]["kernel"]
+    o, i = d_t.shape[0], d_t.shape[1]
+    for tap in range(9):
+        kh, kw = tap // 3, tap % 3
+        np.testing.assert_allclose(
+            d_f[0, 0, tap * i : (tap + 1) * i, :], d_t[:, :, kh, kw].T
+        )
+
+
+def test_bgr_flip(flagship_vars, rng):
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    sd = build_fake_state_dict(params, stats, rng)
+    p_rgb, _, _ = tc.convert_state_dict(sd, params, stats, bgr_to_rgb=True)
+    p_bgr, _, _ = tc.convert_state_dict(sd, params, stats, bgr_to_rgb=False)
+    a = p_rgb["pre_img_stem"]["Conv_0"]["kernel"]
+    b = p_bgr["pre_img_stem"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(a, b[:, :, ::-1, :])
+
+
+def test_module_prefix_stripped(flagship_vars, rng):
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    sd = build_fake_state_dict(params, stats, rng)
+    sd_pref = {"module." + k: v for k, v in sd.items()}
+    _, _, report = tc.convert_state_dict(sd_pref, params, stats, strict=True)
+    assert not report["missing"]
