@@ -25,6 +25,7 @@ def main():
     from sgtapose_tpu.models.sgta import create_model
     from sgtapose_tpu.train.loss import clamped_sigmoid
     from sgtapose_tpu.train.trainer import example_batch
+    from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
 
     cfg = Config()
     model = create_model(cfg.model)
@@ -38,6 +39,9 @@ def main():
         batch["repro_hm_cls"],
     )
     variables = model.init(jax.random.PRNGKey(0), *inputs, train=False)
+    # bf16 activations+params on the conv/attention path (MXU-native)
+    variables = bf16_inference_variables(variables)
+    inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
 
     @jax.jit
     def frame_step(variables, cur_img, pre_img, pre_hm, repro_hm, pre_hm_cls, repro_hm_cls):
@@ -45,8 +49,11 @@ def main():
             variables, cur_img, pre_img, pre_hm, repro_hm, pre_hm_cls, repro_hm_cls,
             train=False,
         )
-        hm = clamped_sigmoid(out["hm"])
-        dec = decode_heatmaps_batch(hm, out["reg"], out["tracking"])
+        # decode numerics in f32
+        hm = clamped_sigmoid(out["hm"].astype(jnp.float32))
+        dec = decode_heatmaps_batch(
+            hm, out["reg"].astype(jnp.float32), out["tracking"].astype(jnp.float32)
+        )
         return dec.coords, dec.scores
 
     # warmup / compile

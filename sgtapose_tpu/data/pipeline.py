@@ -156,3 +156,103 @@ def make_batch_fn(cfg: Config, camera_K, augment: bool = True):
         )(rngs, samples)
 
     return jax.jit(batch_fn)
+
+
+class RawSampleThree(NamedTuple):
+    """Three-frame window (ppre, pre, next) — ref CenterTrackThreeDataset
+    (datasets.py:215-440)."""
+
+    ppre_img: jnp.ndarray
+    pre_img: jnp.ndarray
+    next_img: jnp.ndarray
+    ppre_projs: jnp.ndarray
+    pre_projs: jnp.ndarray
+    next_projs: jnp.ndarray
+    ppre_x3d_rob: jnp.ndarray
+    pre_x3d_rob: jnp.ndarray
+    next_x3d_rob: jnp.ndarray
+
+
+def augment_and_render_three(
+    rng: jax.Array,
+    sample: RawSampleThree,
+    camera_K: jnp.ndarray,
+    cfg: Config,
+    augment: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Three-frame training inputs: one shared affine for all frames, two
+    noised PnP prior chains (ppre->pre and pre->next)."""
+    pair_pn = RawSample(
+        prev_img=sample.pre_img,
+        next_img=sample.next_img,
+        prev_projs=sample.pre_projs,
+        next_projs=sample.next_projs,
+        prev_x3d_rob=sample.pre_x3d_rob,
+        next_x3d_rob=sample.next_x3d_rob,
+    )
+    k_pair, k_pp, k_warp = jax.random.split(rng, 3)
+    # base pair (pre -> next) reuses the two-frame construction, which fixes
+    # the shared affine for the whole window
+    out = augment_and_render(k_pair, pair_pn, camera_K, cfg, augment)
+
+    # rebuild the same transforms for the ppre frame: rerun the affine keys
+    # deterministically by re-deriving from the SAME rng the pair used
+    # (augment_and_render splits its rng as (aug_s, aug_c, prior, prevhm))
+    H_raw, W_raw = sample.pre_img.shape[0], sample.pre_img.shape[1]
+    in_h, in_w = cfg.model.input_res
+    out_h, out_w = cfg.model.output_res
+    k_aug_s, k_aug_c, _, _ = jax.random.split(k_pair, 4)
+    s_base = jnp.float32(max(H_raw, W_raw))
+    if augment:
+        aug_s = jax.random.choice(k_aug_s, jnp.arange(0.6, 1.4, 0.1, dtype=jnp.float32))
+        wb = _border(128, W_raw)
+        hb = _border(128, H_raw)
+        cx = jax.random.randint(k_aug_c, (), wb, W_raw - wb).astype(jnp.float32)
+        cy = jax.random.randint(jax.random.fold_in(k_aug_c, 1), (), hb, H_raw - hb).astype(jnp.float32)
+        center = jnp.stack([cx, cy])
+    else:
+        aug_s = jnp.float32(1.0)
+        center = jnp.array([W_raw / 2.0, H_raw / 2.0], jnp.float32)
+    s = s_base * aug_s
+    trans_input = geometry.get_affine_transform(center, s, 0.0, (in_w, in_h))
+    trans_output = geometry.get_affine_transform(center, s, 0.0, (out_w, out_h))
+
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGE_STD, jnp.float32)
+    ppre_in = geometry.normalize_image(
+        geometry.warp_affine(sample.ppre_img.astype(jnp.float32), trans_input, (in_h, in_w)),
+        mean, std,
+    )
+
+    # ppre -> pre prior chain
+    ok2, pre_est, ppre_noised = pnp.noised_pnp_prior(
+        k_pp, sample.ppre_x3d_rob, sample.ppre_projs, sample.pre_x3d_rob,
+        camera_K, cfg.train.hm_disturb, cfg.train.lost_disturb,
+    )
+    ok2f = ok2.astype(jnp.float32)
+    ppre_hm = geometry.render_prior_heatmap(
+        ppre_noised, trans_input, in_w, in_h, W_raw, H_raw
+    ) * ok2f
+    ppre_hm_cls = geometry.render_prior_heatmap_cls(
+        ppre_noised, trans_output, out_w, out_h, W_raw, H_raw
+    ) * ok2f
+
+    out.update(
+        ppre_img=ppre_in,
+        ppre_hm=ppre_hm[..., None],
+        ppre_hm_cls=jnp.moveaxis(ppre_hm_cls, 0, -1),
+    )
+    return out
+
+
+def make_batch_fn_three(cfg: Config, camera_K, augment: bool = True):
+    K = jnp.asarray(camera_K, jnp.float32)
+
+    def batch_fn(rng, samples: RawSampleThree):
+        B = samples.pre_img.shape[0]
+        rngs = jax.random.split(rng, B)
+        return jax.vmap(
+            lambda r, s: augment_and_render_three(r, s, K, cfg, augment)
+        )(rngs, samples)
+
+    return jax.jit(batch_fn)

@@ -239,7 +239,7 @@ class DepthwiseUpsample(nn.Module):
         pad = k - 1 - f // 2
         out = jax.lax.conv_general_dilated(
             x,
-            w,
+            w.astype(x.dtype),
             window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
             lhs_dilation=(f, f),

@@ -190,10 +190,33 @@ class CenterNetSingle(nn.Module):
 
 
 def create_model(cfg: ModelConfig):
-    """Arch factory (ref model.py:14-29 _network_factory + create_model)."""
+    """Arch factory (ref model.py:14-29 _network_factory + create_model).
+    Arch names mirror the reference's: dlapawdl3new_34 (flagship),
+    dlapawd3_34 (3-frame), dlapacat_34 (concat baseline), dreamhourglass,
+    resnetsimple, dlaseg (CenterNet single-frame)."""
     arch = cfg.arch.split("_")[0]
-    if arch in ("dlapawdl3new", "dlapa", "dlapaw"):
+    if arch in ("dlapawdl3new", "dlapa", "dlapaw", "dlapawd"):
         return SGTAPose(cfg)
+    if arch in ("dlapawd3", "dlapawthree"):
+        from sgtapose_tpu.models.variants import SGTAPoseThree
+
+        return SGTAPoseThree(cfg)
+    if arch in ("dlapawd3shared",):
+        from sgtapose_tpu.models.variants import SGTAPoseThree
+
+        return SGTAPoseThree(cfg, shared_ca=True)
+    if arch in ("dlapacat",):
+        from sgtapose_tpu.models.variants import SGTAPoseCat
+
+        return SGTAPoseCat(cfg)
+    if arch in ("dreamhourglass",):
+        from sgtapose_tpu.models.dream_baselines import DreamHourglass
+
+        return DreamHourglass(cfg.num_classes)
+    if arch in ("resnetsimple",):
+        from sgtapose_tpu.models.dream_baselines import ResnetSimple
+
+        return ResnetSimple(cfg.num_classes)
     if arch in ("dlaseg", "centernet", "dla"):
         return CenterNetSingle(cfg)
     raise ValueError(f"unknown arch: {cfg.arch}")

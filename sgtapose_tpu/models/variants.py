@@ -1,0 +1,169 @@
+"""Additional model variants (the reference's arch zoo, C12).
+
+Rebuilds of ref lib/model/networks/dla.py variants:
+  * SGTAPoseThree  — 3-frame window model (DLA_PlanAWindow_Three :1349-1456,
+    BaseModelPlanA_Three base_model.py:203-299): Siamese trunk over
+    (ppre, pre, cur), two cross-attention stages (ppre->pre, pre->cur) with
+    optionally SHARED attention weights (--shared_ca)
+  * SGTAPoseCat    — channel-concat temporal baseline (DLA_PlanACAT
+    :1106-1156): no attention, previous+current features concatenated and
+    mixed by a 1x1 conv per level
+All reuse the same trunk/decoder/head modules as the flagship.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sgtapose_tpu.config import ModelConfig
+from sgtapose_tpu.models import attention as attn_lib
+from sgtapose_tpu.models.dla import DLA34Backbone, DLAUp, IDAUp, Stem
+from sgtapose_tpu.models.sgta import HeadConv
+
+
+class _DecoderHeads(nn.Module):
+    """Shared DLAUp+IDAUp+heads tail."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, fused: List[jnp.ndarray], train: bool = False):
+        cfg = self.cfg
+        channels = (16, 32, 64, 128, 256, 512)
+        first_level, last_level = 2, 5
+        dla_channels = channels[first_level:]
+        scales = tuple(2 ** i for i in range(len(dla_channels)))
+        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, name="dla_up")(
+            fused[first_level:], train
+        )
+        y = [outs[i] for i in range(last_level - first_level)]
+        y = IDAUp(
+            dla_channels[0],
+            tuple(dla_channels[: last_level - first_level]),
+            tuple(2 ** i for i in range(last_level - first_level)),
+            cfg.dla_node,
+            name="ida_up",
+        )(y, 0, len(y), train)
+        feat = y[-1]
+        return {
+            "hm": HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias, name="hm")(feat),
+            "reg": HeadConv(2, cfg.head_conv, name="reg")(feat),
+            "tracking": HeadConv(2, cfg.head_conv, name="tracking")(feat),
+        }
+
+
+class _WindowAttention(nn.Module):
+    """One level's windowed cross-attention + substitution (shared machinery
+    of all PlanA variants)."""
+
+    cfg: ModelConfig
+    level: int
+
+    @nn.compact
+    def __call__(self, key_feats, query_feats, key_hm_cls, query_hm_cls, train=False):
+        cfg = self.cfg
+        i = self.level
+        K = cfg.k_list[i]
+        kernel = cfg.kernel_list[i]
+        scale = cfg.scale_list[i]
+        Hf, Wf, C = query_feats.shape[1], query_feats.shape[2], query_feats.shape[3]
+
+        key_xy = attn_lib.topk_class_indices(key_hm_cls, K)
+        query_xy = attn_lib.topk_class_indices(query_hm_cls, K)
+        key_ids = attn_lib.window_feat_ids(key_xy, scale, kernel, Hf, Wf)
+        query_ids = attn_lib.window_feat_ids(query_xy, scale, kernel, Hf, Wf)
+        key_tokens = attn_lib.gather_window_features(key_feats, key_ids)
+        query_tokens = attn_lib.gather_window_features(query_feats, query_ids)
+
+        if i < 3:
+            n_tokens = cfg.num_classes * K * (1 + 2 * (kernel // 2)) ** 2
+            out = attn_lib.TransformerEncoder(
+                d_inp=16 * (2 ** i),
+                d_model=4 * (2 ** i),
+                n_tokens=n_tokens,
+                num_layers=cfg.num_decoder_layers,
+                n_heads=cfg.n_heads,
+                pos_embed=cfg.pos_embed,
+                name="transformer",
+            )(query_tokens, key_tokens, key_tokens, train)
+        else:
+            out = key_tokens
+        merged = attn_lib.CatLayer(C, name="cat_layer")(
+            jnp.concatenate([out, query_tokens], axis=-1)
+        )
+        return attn_lib.scatter_window_features(query_feats, query_ids, merged)
+
+
+class SGTAPoseThree(nn.Module):
+    """Three-frame variant: ppre -> pre -> cur attention chain."""
+
+    cfg: ModelConfig
+    shared_ca: bool = False  # share attention weights between the two stages
+
+    @nn.compact
+    def __call__(
+        self,
+        cur_img, ppre_img, pre_img,
+        ppre_hm, pre_hm, repro_hm,
+        ppre_hm_cls, pre_hm_cls, repro_hm_cls,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        imgs = jnp.concatenate([ppre_img, pre_img, cur_img], axis=0)
+        hms = jnp.concatenate([ppre_hm, pre_hm, repro_hm], axis=0)
+        feats = DLA34Backbone(channels, name="base")(
+            stem_img(imgs, train) + stem_hm(hms, train), train
+        )
+        ppre = [f[:B] for f in feats]
+        pre = [f[B : 2 * B] for f in feats]
+        cur = [f[2 * B :] for f in feats]
+
+        fused = []
+        for i in range(6):
+            stage1 = _WindowAttention(cfg, i, name=f"attn1_{i}")
+            stage2 = (
+                stage1 if self.shared_ca
+                else _WindowAttention(cfg, i, name=f"attn2_{i}")
+            )
+            # ppre conditions pre; the updated pre conditions cur
+            pre_i = stage1(ppre[i], pre[i], ppre_hm_cls, pre_hm_cls, train)
+            fused.append(stage2(pre_i, cur[i], pre_hm_cls, repro_hm_cls, train))
+
+        return _DecoderHeads(cfg, name="decoder")(fused, train)
+
+
+class SGTAPoseCat(nn.Module):
+    """Channel-concat temporal baseline (no attention)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, cur_img, pre_img, pre_hm, repro_hm,
+        pre_hm_cls=None, repro_hm_cls=None, train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+        hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
+        feats = DLA34Backbone(channels, name="base")(
+            stem_img(imgs, train) + stem_hm(hms, train), train
+        )
+        fused = []
+        for i in range(6):
+            both = jnp.concatenate([feats[i][:B], feats[i][B:]], axis=-1)
+            mixed = nn.Conv(channels[i], kernel_size=(1, 1), name=f"mix_{i}")(both)
+            fused.append(nn.relu(mixed))
+        return _DecoderHeads(cfg, name="decoder")(fused, train)

@@ -109,3 +109,40 @@ def test_parallel_train_step_8dev(raw_batch):
     state, stats = pstep(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(stats["tot"]))
     assert int(state.step) == 1
+
+
+def test_three_frame_pipeline(raw_batch):
+    """Three-frame batch construction (ppre/pre/next)."""
+    from sgtapose_tpu.data.pipeline import RawSampleThree, make_batch_fn_three
+
+    r = raw_batch
+    three = RawSampleThree(
+        ppre_img=r.prev_img, pre_img=r.prev_img, next_img=r.next_img,
+        ppre_projs=r.prev_projs, pre_projs=r.prev_projs, next_projs=r.next_projs,
+        ppre_x3d_rob=r.prev_x3d_rob, pre_x3d_rob=r.prev_x3d_rob,
+        next_x3d_rob=r.next_x3d_rob,
+    )
+    fn = make_batch_fn_three(TINY, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(0), three)
+    H, W = TINY.model.input_res
+    Ho, Wo = TINY.model.output_res
+    assert batch["ppre_img"].shape == (2, H, W, 3)
+    assert batch["ppre_hm"].shape == (2, H, W, 1)
+    assert batch["ppre_hm_cls"].shape == (2, Ho, Wo, 7)
+    assert batch["cur_img"].shape == (2, H, W, 3)
+    for v in jax.tree_util.tree_leaves(batch):
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+
+
+def test_stage_timer_and_seed():
+    from sgtapose_tpu.utils.profiling import StageTimer
+    from sgtapose_tpu.utils.seeding import set_random_seed
+
+    t = StageTimer()
+    with t.stage("net"):
+        pass
+    with t.stage("net"):
+        pass
+    assert t.counts["net"] == 2 and "net" in t.summary()
+    key = set_random_seed(317)
+    assert key is not None
