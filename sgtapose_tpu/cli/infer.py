@@ -138,6 +138,82 @@ def run_synthetic(args, cfg: Config, model, variables):
     return results
 
 
+def run_real(args, cfg: Config, model, variables):
+    """DREAM-real sets (ref inference.py:186-294 inference_real): the split
+    info json provides per-video lists of relative img/json paths; intrinsics
+    come from the set's _camera_settings.json; GT 3D keypoint positions are
+    camera-frame (`load_keypoints`), which serve both the temporal prior PnP
+    and the ADD evaluation."""
+    set_dir = os.path.join(args.dataset, args.is_real)
+    camera_K = loaders.load_camera_intrinsics(
+        os.path.join(set_dir, "_camera_settings.json")
+    )
+    split_path = args.split_info or os.path.join(
+        args.dataset, "dream_real_info", f"{args.is_real}_split_info.json"
+    )
+    with open(split_path) as f:
+        split = json.load(f)
+    video_jsons = split["json_paths"]
+    video_imgs = split["img_paths"]
+    kp_names = KEYPOINT_NAMES["panda"]
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
+    run, raw_hw = None, None
+    t_total, n_frames = 0.0, 0
+    videos = list(zip(video_imgs, video_jsons))
+    if args.max_videos:
+        videos = videos[: args.max_videos]
+    for vi, (imgs_rel, jsons_rel) in enumerate(videos):
+        imgs, projs, pos_cam = [], [], []
+        for img_rel, js_rel in zip(imgs_rel, jsons_rel):
+            img_path = os.path.join(set_dir, img_rel)
+            js_path = os.path.join(set_dir, js_rel)
+            imgs.append(loaders.load_image(img_path))
+            kp = loaders.load_keypoints(js_path, "panda", kp_names)
+            projs.append(kp["projections"])
+            pos_cam.append(kp["positions_wrt_cam"])
+            json_list.append(js_path)
+            sample_names.append(f"{vi:03d}/{os.path.basename(js_rel)}")
+        imgs = jnp.asarray(np.stack(imgs))
+        if raw_hw is None:
+            raw_hw = (imgs.shape[1], imgs.shape[2])
+            run = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
+        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
+        video = det_lib.VideoFrames(
+            images=images, x3d=jnp.asarray(np.stack(pos_cam), jnp.float32)
+        )
+        t0 = time.perf_counter()
+        res = run(video)
+        jax.block_until_ready(res.detected_kps)
+        t_total += time.perf_counter() - t0
+        n_frames += imgs.shape[0]
+        all_det.append(np.asarray(res.detected_kps))
+        all_gt.append(np.stack(projs))
+        all_pos.append(np.stack(pos_cam))
+        print(f"video {vi}: {imgs.shape[0]} frames")
+
+    det = np.concatenate(all_det)
+    gt = np.concatenate(all_gt)
+    pos = np.concatenate(all_pos)
+    print(f"inference: {n_frames} frames in {t_total:.2f}s "
+          f"({n_frames / max(t_total, 1e-9):.1f} fps)")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(
+        os.path.join(args.output_dir, f"dt_and_json_{args.is_real}.json"), "w"
+    ) as f:
+        json.dump({"dt": det.tolist(), "json": json_list}, f, indent=1)
+
+    return analyze_sequence_results(
+        det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
+        (raw_hw[1], raw_hw[0]), args.output_dir, set_name=args.is_real,
+        sample_names=sample_names, rf=args.rf, syn=False,
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = Config(
@@ -157,7 +233,10 @@ def main(argv=None):
         print(f"loaded {args.ckpt}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    results = run_synthetic(args, cfg, model, variables)
+    if args.is_real:
+        results = run_real(args, cfg, model, variables)
+    else:
+        results = run_synthetic(args, cfg, model, variables)
     km, pm = results["keypoint_metrics"], results["pnp_metrics"]
     print(f"PCK AUC@12px: {km['l2_error_auc']}")
     print(f"ADD AUC@0.06m: {pm['add_auc']}")

@@ -165,3 +165,94 @@ def write_synthetic_dataset(
             ]
             with open(os.path.join(vdir, f"{f:04d}_meta.json"), "w") as fp:
                 json.dump(meta, fp)
+
+
+def write_real_dataset(
+    out_dir: str,
+    set_name: str = "panda-test",
+    n_videos: int = 1,
+    n_frames: int = 3,
+    seed: int = 0,
+):
+    """Write a DREAM-real-format set: {set}/XXXXXX.rgb.png + .json with
+    objects[0].keypoints (location + projected_location), _camera_settings
+    .json, and dream_real_info/{set}_split_info.json (img_paths/json_paths
+    per video) — the structure ref inference.py:186-231 consumes."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from sgtapose_tpu.config import KEYPOINT_NAMES
+
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    kp_names = KEYPOINT_NAMES["panda"]
+    set_dir = os.path.join(out_dir, set_name)
+    info_dir = os.path.join(out_dir, "dream_real_info")
+    os.makedirs(set_dir, exist_ok=True)
+    os.makedirs(info_dir, exist_ok=True)
+
+    with open(os.path.join(set_dir, "_camera_settings.json"), "w") as f:
+        json.dump(
+            {
+                "camera_settings": [
+                    {
+                        "intrinsic_settings": {
+                            "fx": K[0, 0], "fy": K[1, 1],
+                            "cx": K[0, 2], "cy": K[1, 2],
+                        },
+                        "captured_image_size": {"width": RAW_W, "height": RAW_H},
+                    }
+                ]
+            },
+            f,
+        )
+
+    rng = jax.random.PRNGKey(seed)
+    img_paths, json_paths = [], []
+    idx = 0
+    for v in range(n_videos):
+        rv = jax.random.fold_in(rng, v)
+        q0, t0 = random_pose(rv)
+        dq = jax.random.normal(jax.random.fold_in(rv, 1), (4,)) * 0.01
+        dt = jax.random.normal(jax.random.fold_in(rv, 2), (3,)) * 0.01
+        v_imgs, v_jsons = [], []
+        for f_i in range(n_frames):
+            q = q0 + dq * f_i
+            q = q / jnp.linalg.norm(q)
+            t = t0 + dt * f_i
+            R = geometry.quat_to_matrix(q)
+            pos_cam = np.asarray(geometry.transform_points(SKELETON, R, t))
+            projs = np.asarray(
+                geometry.project_points(SKELETON, R, t, jnp.asarray(K, jnp.float32))
+            )
+            img = np.asarray(render_frame(jnp.asarray(projs))).astype(np.uint8)
+            img_name = f"{idx:06d}.rgb.png"
+            js_name = f"{idx:06d}.json"
+            Image.fromarray(img).save(os.path.join(set_dir, img_name))
+            blob = {
+                "objects": [
+                    {
+                        "class": "panda",
+                        "keypoints": [
+                            {
+                                "name": name,
+                                "location": pos_cam[i].tolist(),
+                                "projected_location": projs[i].tolist(),
+                            }
+                            for i, name in enumerate(kp_names)
+                        ],
+                    }
+                ]
+            }
+            with open(os.path.join(set_dir, js_name), "w") as fp:
+                json.dump(blob, fp)
+            v_imgs.append(img_name)
+            v_jsons.append(js_name)
+            idx += 1
+        img_paths.append(v_imgs)
+        json_paths.append(v_jsons)
+
+    with open(os.path.join(info_dir, f"{set_name}_split_info.json"), "w") as f:
+        json.dump({"img_paths": img_paths, "json_paths": json_paths}, f)

@@ -63,3 +63,31 @@ def test_train_then_infer(tmp_path):
     with open(os.path.join(res_dir, "dt_and_gt.json")) as fh:
         blob = json.load(fh)
     assert len(blob["names"]) == 6  # 2 videos x 3 frames
+
+
+@pytest.mark.slow
+def test_infer_real_mode(tmp_path):
+    """DREAM-real-format inference path (split info + camera settings +
+    objects-format jsons)."""
+    from sgtapose_tpu.data.synthetic import write_real_dataset
+
+    data_dir = str(tmp_path / "real_data")
+    res_dir = str(tmp_path / "real_results")
+    write_real_dataset(data_dir, set_name="panda-test", n_videos=1, n_frames=3)
+
+    from sgtapose_tpu.cli import infer as infer_cli
+
+    results = infer_cli.main(
+        [
+            "--dataset", data_dir,
+            "--is_real", "panda-test",
+            "--output_dir", res_dir,
+            "--robot", "panda",
+            "--input_res", "64",
+            "--dla_node", "conv",
+            "--kernel_list", "3,3,3,1,1,1",
+        ]
+    )
+    assert results["keypoint_metrics"]["num_gt_inframe"] > 0
+    assert os.path.exists(os.path.join(res_dir, "dt_and_json_panda-test.json"))
+    assert os.path.exists(os.path.join(res_dir, "panda-test_pnp_results.csv"))
