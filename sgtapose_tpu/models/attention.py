@@ -91,6 +91,7 @@ def scatter_window_features(
     """
     B, H, W, C = feats.shape
     flat = feats.reshape(B, H * W, C)
+    values = values.astype(feats.dtype)
 
     def scatter_one(f, ids, v):
         return f.at[ids].set(v)
