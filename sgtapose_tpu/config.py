@@ -80,6 +80,8 @@ class ModelConfig:
     num_decoder_layers: int = 3  # cross-attention encoder depth (weight-tied)
     n_heads: int = 8
     pos_embed: bool = True  # learned relative position bias in attention
+    fused_attention: bool = False  # Pallas flash-style biased attention
+    fused_attention_interpret: bool = False  # interpret mode (CPU tests)
     # Per-level top-k counts and window kernel sizes
     # (ref: opts_parallel.py k_list_1..6 = 1, ks1..6 = 12,6,3,1,1,1)
     k_list: Tuple[int, ...] = (1, 1, 1, 1, 1, 1)

@@ -101,13 +101,20 @@ def scatter_window_features(
 
 
 class MultiHeadCrossAttention(nn.Module):
-    """MHA with learned (heads, n, n) position bias (ref MHCA_ein dla.py:848-887)."""
+    """MHA with learned (heads, n, n) position bias (ref MHCA_ein dla.py:848-887).
+
+    use_fused selects the Pallas flash-style kernel
+    (ops/attention_kernel.py): identical math, no HBM logits tensor in either
+    the forward or backward pass.
+    """
 
     n_heads: int
     inp_dim: int
     hid_dim: int
     n_tokens: int
     pos_embed: bool = True
+    use_fused: bool = False
+    fused_interpret: bool = False  # interpret-mode (CPU tests)
 
     @nn.compact
     def __call__(self, query, key, value):
@@ -120,17 +127,30 @@ class MultiHeadCrossAttention(nn.Module):
         q = q.reshape(B, N, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, h, d).transpose(0, 2, 1, 3)
-        scale = jnp.sqrt(jnp.float32(d))
-        energy = jnp.einsum("bhid,bhjd->bhij", q, k) / scale
         if self.pos_embed:
             bias = self.param(
                 "pos_embed",
                 nn.initializers.zeros,
                 (h, self.n_tokens, self.n_tokens),
             )
-            energy = energy + bias
-        attn = jax.nn.softmax(energy, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        else:
+            bias = None
+
+        if self.use_fused:
+            from sgtapose_tpu.ops.attention_kernel import fused_biased_attention
+
+            if bias is None:
+                bias = jnp.zeros((h, N, N), q.dtype)
+            out = fused_biased_attention(
+                q, k, v, bias.astype(q.dtype), self.fused_interpret
+            )
+        else:
+            scale = jnp.sqrt(jnp.float32(d))
+            energy = jnp.einsum("bhid,bhjd->bhij", q, k) / scale
+            if bias is not None:
+                energy = energy + bias
+            attn = jax.nn.softmax(energy, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, self.hid_dim)
         return nn.Dense(self.inp_dim, name="fc")(out)
 
@@ -145,6 +165,8 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     n_heads: int = 8
     pos_embed: bool = True
+    use_fused: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, train: bool = False):
@@ -154,6 +176,8 @@ class TransformerEncoderLayer(nn.Module):
             self.d_model * self.n_heads,
             self.n_tokens,
             self.pos_embed,
+            use_fused=self.use_fused,
+            fused_interpret=self.fused_interpret,
             name="cross_attn",
         )(query, key, value)
         # reference quirk: dropout on the residual query, not the attn output
@@ -178,6 +202,8 @@ class TransformerEncoder(nn.Module):
     num_layers: int = 3
     n_heads: int = 8
     pos_embed: bool = True
+    use_fused: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, train: bool = False):
@@ -187,6 +213,8 @@ class TransformerEncoder(nn.Module):
             self.n_tokens,
             n_heads=self.n_heads,
             pos_embed=self.pos_embed,
+            use_fused=self.use_fused,
+            fused_interpret=self.fused_interpret,
             name="layer",
         )
         out = query

@@ -114,6 +114,8 @@ class SGTAPose(nn.Module):
                     num_layers=cfg.num_decoder_layers,
                     n_heads=cfg.n_heads,
                     pos_embed=cfg.pos_embed,
+                    use_fused=cfg.fused_attention,
+                    fused_interpret=cfg.fused_attention_interpret,
                     name=f"transformer_{i}",
                 )(cur_query, pre_key, pre_key, train)
             else:

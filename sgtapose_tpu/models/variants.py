@@ -88,6 +88,8 @@ class _WindowAttention(nn.Module):
                 num_layers=cfg.num_decoder_layers,
                 n_heads=cfg.n_heads,
                 pos_embed=cfg.pos_embed,
+                use_fused=cfg.fused_attention,
+                fused_interpret=cfg.fused_attention_interpret,
                 name="transformer",
             )(query_tokens, key_tokens, key_tokens, train)
         else:
