@@ -56,6 +56,8 @@ def parse_args(argv=None):
     p.add_argument("--kernel_list", default="12,6,3,1,1,1",
                    help="per-level attention window sizes (ref ks1..ks6)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 model compute with f32 master params")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--log_every", type=int, default=50)
     return p.parse_args(argv)
@@ -126,6 +128,7 @@ def main(argv=None):
     batch_fn = make_batch_fn(cfg, camera_K)
     pstep = trainer.make_parallel_train_step(
         mesh,
+        bf16=args.bf16,
         hm_weight=cfg.train.hm_weight,
         reg_weight=cfg.train.reg_weight,
         tracking_weight=cfg.train.tracking_weight,

@@ -148,7 +148,12 @@ def _dsb_bwd(res, g):
     dx = jnp.sum(dsamp * dval_dx, axis=-1)
     doffsets = jnp.stack([dy, dx], axis=-1).reshape(B, H, W, 18)
 
-    return dfeat, doffsets, dmask
+    # cotangent dtypes must match the primals (bf16 training path)
+    return (
+        dfeat.astype(feat.dtype),
+        doffsets.astype(offsets.dtype),
+        dmask.astype(masks.dtype),
+    )
 
 
 deform_sample_batch.defvjp(_dsb_fwd, _dsb_bwd)

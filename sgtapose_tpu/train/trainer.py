@@ -138,19 +138,46 @@ def train_step(
     hm_weight: float = 1.0,
     reg_weight: float = 0.01,
     tracking_weight: float = 0.0,
+    bf16: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step. bf16=True runs the model compute (params,
+    activations, image inputs) in bfloat16 with f32 master params, f32 loss
+    targets, and f32 gradients — standard loss-scale-free TPU mixed
+    precision (~2.4x at this chip's bf16/f32 roofline ratio)."""
     dropout_rng = jax.random.fold_in(dropout_rng, state.step)
 
+    model_inputs = (
+        "cur_img", "pre_img", "pre_hm", "repro_hm", "pre_hm_cls", "repro_hm_cls",
+    )
+
     def loss_fn(params):
+        if bf16:
+            from sgtapose_tpu.utils.precision import cast_floating
+
+            fwd_params = cast_floating(params, jnp.bfloat16)
+            fwd_state = state.replace(
+                batch_stats=cast_floating(state.batch_stats, jnp.bfloat16)
+            )
+            fwd_batch = dict(batch)
+            for k in model_inputs:
+                fwd_batch[k] = batch[k].astype(jnp.bfloat16)
+        else:
+            fwd_params, fwd_batch, fwd_state = params, batch, state
         out, new_stats = model_forward(
-            state, params, batch, train=True, rngs={"dropout": dropout_rng}
+            fwd_state, fwd_params, fwd_batch, train=True, rngs={"dropout": dropout_rng}
         )
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
         total, stats = sgta_loss(out, batch, hm_weight, reg_weight, tracking_weight)
         return total, (stats, new_stats)
 
     (_, (stats, new_batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    if bf16:
+        # keep running stats in f32 regardless of compute dtype
+        new_batch_stats = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), new_batch_stats
+        )
     new_state = state.apply_gradients(grads, new_batch_stats)
     return new_state, stats
 
@@ -161,7 +188,7 @@ def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
     return stats
 
 
-def make_parallel_train_step(mesh, **loss_weights):
+def make_parallel_train_step(mesh, bf16: bool = False, **loss_weights):
     """jit the train step over the mesh: batch sharded on the data axis,
     state replicated. XLA SPMD inserts the gradient all-reduce (psum over ICI)
     and the global batch-stat reductions."""
@@ -170,7 +197,7 @@ def make_parallel_train_step(mesh, **loss_weights):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
 
-    step = functools.partial(train_step, **loss_weights)
+    step = functools.partial(train_step, bf16=bf16, **loss_weights)
     return jax.jit(
         step,
         in_shardings=(repl, data, repl),
