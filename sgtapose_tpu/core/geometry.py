@@ -301,21 +301,33 @@ def render_noised_prior_heatmap(
     raw_height,
     hm_disturb: float,
     lost_disturb: float,
+    fp_disturb: float = 0.0,
 ) -> jnp.ndarray:
-    """Training prior with jitter + random drops (fault-injection curriculum).
+    """Training prior with jitter + random drops + false positives (the
+    fault-injection curriculum).
     (ref: utilities.py:985-1006 get_prev_hm — jitter N(0,1)*hm_disturb*2 is
-    applied AFTER the affine+clip, drops with prob lost_disturb.)
+    applied AFTER the affine+clip, drops with prob lost_disturb;
+    utilities.py:1115-1120 get_prev_ori_hm — extra blob near each keypoint
+    with probability fp_disturb, jittered by N(0,1)*0.05*2.)
     """
     pts = affine_transform_and_clip(
         kp_projs_raw, trans_input, input_w, input_h, raw_width, raw_height
     )
-    k_jit, k_drop = jax.random.split(rng)
+    k_jit, k_drop, k_fp, k_fpjit = jax.random.split(rng, 4)
     n_kp = pts.shape[0]
     jitter = jax.random.normal(k_jit, (n_kp, 2)) * hm_disturb * 2.0
-    pts = pts + jitter
+    noised = pts + jitter
     keep = jax.random.uniform(k_drop, (n_kp,)) > lost_disturb
     conf = keep.astype(jnp.float32)
-    return render_gaussian_heatmap(pts, conf, input_h, input_w, radius=4, sigma=2.0)
+    hm = render_gaussian_heatmap(noised, conf, input_h, input_w, radius=4, sigma=2.0)
+    if fp_disturb > 0.0:
+        fp = jax.random.uniform(k_fp, (n_kp,)) < fp_disturb
+        fp_pts = pts + jax.random.normal(k_fpjit, (n_kp, 2)) * 0.05 * 2.0
+        fp_hm = render_gaussian_heatmap(
+            fp_pts, (fp & keep).astype(jnp.float32), input_h, input_w, radius=4, sigma=2.0
+        )
+        hm = jnp.maximum(hm, fp_hm)
+    return hm
 
 
 def render_gt_heatmap(

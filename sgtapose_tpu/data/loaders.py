@@ -102,3 +102,38 @@ def load_image(path: str) -> np.ndarray:
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_depth_keypoints(
+    data_path: str, object_name: str, camera_K: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """42-joint depth-variant format (ref sgtapose/utilities.py:731-776
+    load_depth_keypoints): frame-level `R2C_mat` + `joints_3n_fixed_42`
+    camera-frame positions; projections computed through K; robot-frame
+    positions via the inverse camera-to-robot transform anchored at
+    keypoint 0."""
+    data = _load_json(data_path)[0]
+    assert object_name == data["ROBOT NAME"], (object_name, data["ROBOT NAME"])
+    kps = data["keypoints"]
+    joints = data["joints_3n_fixed_42"]
+
+    mat = np.array(kps[0]["R2C_mat"])
+    inv = mat.T
+    trans = np.array(kps[0]["location_wrt_cam"]).reshape(1, 3)
+
+    pos_cam = np.array([j["location_wrt_cam"] for j in joints], dtype=np.float64)
+    pos_rob = (inv @ (pos_cam - trans).T).T
+    proj = (camera_K @ pos_cam.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    return {
+        "projections": proj,
+        "positions_wrt_cam": pos_cam,
+        "positions_wrt_robot": pos_rob,
+    }
+
+
+def load_x3d(data_path: str, object_name: str, keypoint_names) -> np.ndarray:
+    """Camera-frame 3D keypoint positions only (ref utilities.py:17-44
+    load_x3d/load_depth_x3d behavior for the detector's prior PnP)."""
+    kp = load_seq_keypoints(data_path, object_name, keypoint_names, np.eye(3))
+    return kp["positions_wrt_cam"]

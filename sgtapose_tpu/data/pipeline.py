@@ -105,6 +105,13 @@ def augment_and_render(
     )
     gt_belief = geometry.render_gt_heatmap(next_int, out_w, out_h)  # (K,Ho,Wo)
 
+    # --- CenterTrack-phase origin prior (noised prev GT at input res,
+    # ref datasets.py:181-183 prev_origin_belief_maps) --------------------
+    pre_origin_hm = geometry.render_noised_prior_heatmap(
+        k_prevhm, sample.prev_projs, trans_input, in_w, in_h, W_raw, H_raw,
+        cfg.train.hm_disturb, cfg.train.lost_disturb, cfg.train.fp_disturb,
+    )
+
     # --- PnP structure prior with fault injection (ref datasets.py:189-211) -
     ok, next_est, prev_noised = pnp.noised_pnp_prior(
         k_prior,
@@ -133,6 +140,7 @@ def augment_and_render(
     return {
         "cur_img": next_in,
         "pre_img": prev_in,
+        "pre_origin_hm": pre_origin_hm[..., None],
         "pre_hm": pre_hm[..., None],
         "repro_hm": repro_hm[..., None],
         "pre_hm_cls": jnp.moveaxis(pre_hm_cls, 0, -1),  # (Ho, Wo, K)

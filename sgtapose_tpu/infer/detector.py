@@ -47,6 +47,10 @@ class VideoFrames(NamedTuple):
 
     images: jnp.ndarray  # (T, H_in, W_in, 3) normalized network inputs
     x3d: jnp.ndarray  # (T, K, 3) FK keypoint positions (robot or cam frame)
+    # optional GT-initialized prior (ref _get_initial_gt_inputs
+    # sgta_detector.py:571-605): raw-frame GT projections used as frame-0
+    # "detections"; pass None/zeros to start cold (the default)
+    init_kps: Optional[jnp.ndarray] = None  # (K, 2) or None
 
 
 class DetectorCarry(NamedTuple):
@@ -157,7 +161,9 @@ def _build_video_runner(
         )
         # PnP failure -> reuse previous detections (is_pnp fallback)
         repro = jnp.where(ok, repro, carry.detected_kps)
-        any_valid = jnp.any(valid) & ~first
+        # cold start: all-sentinel kps -> no valid rows -> zero priors;
+        # GT-initialized start (init_kps) has valid rows on frame 0 by design
+        any_valid = jnp.any(valid)
         pre_hm, repro_hm, pre_cls, repro_cls = _render_priors(
             carry.detected_kps, repro, any_valid, trans_input, trans_output,
             cfg, (W_raw, H_raw),
@@ -202,9 +208,14 @@ def _build_video_runner(
         T = video.images.shape[0]
         # prior PnP for frame t uses frame t-1's 3D keypoints
         prev_x3d = jnp.concatenate([video.x3d[:1], video.x3d[:-1]], axis=0)
+        init_kps = (
+            video.init_kps
+            if video.init_kps is not None
+            else jnp.full((n_kp, 2), KP_SENTINEL, jnp.float32)
+        )
         init = DetectorCarry(
             pre_img=jnp.zeros_like(video.images[0]),
-            detected_kps=jnp.full((n_kp, 2), KP_SENTINEL, jnp.float32),
+            detected_kps=init_kps,
             frame_idx=jnp.int32(0),
         )
         _, results = jax.lax.scan(frame_step, init, (video.images, prev_x3d, video.x3d))
