@@ -1,0 +1,123 @@
+"""Self-contained TPU training demonstration: train the flagship model on
+on-device-generated synthetic sequences, then run the streaming detector and
+report PCK/ADD metrics. No dataset required — this is the framework's
+smoke-scale equivalent of the reference's franka_data training + syn_test
+eval loop, runnable anywhere JAX has a device.
+
+  python -m sgtapose_tpu.cli.train_demo --steps 600 --batch 8 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgtapose_tpu.config import Config, ModelConfig, TrainConfig
+from sgtapose_tpu.data import pipeline, synthetic
+from sgtapose_tpu.eval.analysis import analyze_sequence_results
+from sgtapose_tpu.infer import detector as det_lib
+from sgtapose_tpu.models.sgta import create_model
+from sgtapose_tpu.train import trainer
+from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("sgtapose_tpu train_demo")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--input_res", type=int, default=480)
+    p.add_argument("--dla_node", default="dcn")
+    p.add_argument("--eval_frames", type=int, default=16)
+    p.add_argument("--eval_videos", type=int, default=4)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=317)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config(
+        model=ModelConfig(
+            input_res=(args.input_res, args.input_res), dla_node=args.dla_node
+        ),
+        train=TrainConfig(lr=args.lr, warmup_iters=min(100, args.steps // 4)),
+    )
+    state = trainer.create_train_state(cfg, jax.random.PRNGKey(args.seed), max_iters=args.steps)
+    batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
+    raw_fn = jax.jit(functools.partial(synthetic.make_raw_batch, batch_size=args.batch))
+    step_fn = jax.jit(
+        functools.partial(trainer.train_step, bf16=args.bf16), donate_argnums=0
+    )
+
+    print(f"training {args.steps} steps, batch {args.batch}, bf16={args.bf16}")
+    t0 = time.time()
+    for it in range(args.steps):
+        k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), it)
+        raw = raw_fn(jax.random.fold_in(k, 0))
+        batch = batch_fn(jax.random.fold_in(k, 1), raw)
+        state, stats = step_fn(state, batch, jax.random.PRNGKey(args.seed + 2))
+        if it % args.log_every == 0 or it == args.steps - 1:
+            s = {k2: float(np.asarray(v)) for k2, v in stats.items()}
+            print(
+                f"step {it}: " + " ".join(f"{k2}={v:.5f}" for k2, v in s.items())
+                + f"  ({(time.time()-t0):.0f}s)"
+            )
+    print(f"training done in {time.time()-t0:.0f}s")
+
+    # ---- streaming eval on held-out synthetic videos -------------------------
+    model = create_model(cfg.model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = bf16_inference_variables(variables)
+
+    def apply(variables, *inputs):
+        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
+        out = model.apply(variables, *inputs, train=False)
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+    run = det_lib.make_video_detector(
+        apply, variables, cfg, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )
+    all_det, all_gt, all_pos = [], [], []
+    t0 = time.time()
+    n_frames = 0
+    for v in range(args.eval_videos):
+        rv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 99), v)
+        projs, imgs, pos_cam = synthetic.make_sequence(
+            rv, args.eval_frames, return_pos_cam=True
+        )
+        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
+        x3d = jnp.tile(synthetic.SKELETON[None], (args.eval_frames, 1, 1))
+        res = run(det_lib.VideoFrames(images=images, x3d=x3d))
+        all_det.append(np.asarray(res.detected_kps))
+        all_gt.append(np.asarray(projs))
+        all_pos.append(np.asarray(pos_cam))
+        n_frames += args.eval_frames
+    dt_eval = time.time() - t0
+    print(f"eval inference: {n_frames} frames in {dt_eval:.1f}s ({n_frames/dt_eval:.1f} fps)")
+
+    det = np.concatenate(all_det)
+    gt = np.concatenate(all_gt).astype(np.float32)
+    pos = np.concatenate(all_pos).astype(np.float32)
+    results = analyze_sequence_results(
+        det, gt, pos, np.asarray(synthetic.camera_K()),
+        (synthetic.RAW_W, synthetic.RAW_H), output_dir=None, rf=True, syn=False,
+    )
+    km, pm = results["keypoint_metrics"], results["pnp_metrics"]
+    print(f"found in-frame: {km['num_found_gt_inframe']}/{km['num_gt_inframe']}")
+    print(f"PCK AUC@12px: {km['l2_error_auc']}")
+    print(f"L2 mean px: {km['l2_error_mean_px']}")
+    print(f"ADD AUC@0.06m: {pm['add_auc']}")
+    print(f"ADD mean m: {pm['add_mean']}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

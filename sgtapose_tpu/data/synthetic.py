@@ -67,16 +67,17 @@ def render_frame(projs: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img + 20.0, 0.0, 255.0)
 
 
-def make_sequence(rng: jax.Array, num_frames: int = 2):
+def make_sequence(rng: jax.Array, num_frames: int = 2, return_pos_cam: bool = False):
     """Simulate a short video: smooth camera motion over a static robot.
-    Returns per-frame (projs (K,2), x3d_rob (K,3), imgs (H,W,3)) stacked."""
+    Returns (projs (T,K,2), imgs (T,H,W,3)) and, with return_pos_cam, also
+    the camera-frame keypoint positions (T,K,3) for ADD evaluation."""
     k_pose, k_vel = jax.random.split(rng)
     q0, t0 = random_pose(k_pose)
     dq = jax.random.normal(jax.random.fold_in(k_vel, 0), (4,)) * 0.01
     dt = jax.random.normal(jax.random.fold_in(k_vel, 1), (3,)) * 0.01
     K = camera_K()
 
-    projs, imgs = [], []
+    projs, imgs, pos = [], [], []
     for f in range(num_frames):
         q = q0 + dq * f
         q = q / jnp.linalg.norm(q)
@@ -85,6 +86,9 @@ def make_sequence(rng: jax.Array, num_frames: int = 2):
         p = geometry.project_points(SKELETON, R, t, K)
         projs.append(p)
         imgs.append(render_frame(p))
+        pos.append(geometry.transform_points(SKELETON, R, t))
+    if return_pos_cam:
+        return jnp.stack(projs), jnp.stack(imgs), jnp.stack(pos)
     return jnp.stack(projs), jnp.stack(imgs)
 
 
