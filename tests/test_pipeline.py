@@ -146,3 +146,55 @@ def test_stage_timer_and_seed():
     assert t.counts["net"] == 2 and "net" in t.summary()
     key = set_random_seed(317)
     assert key is not None
+
+
+@pytest.mark.slow
+def test_bf16_train_step(raw_batch):
+    """bf16 mixed-precision step: finite loss, f32 params/stats preserved."""
+    import functools
+
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+    step = jax.jit(functools.partial(trainer.train_step, bf16=True))
+    state, stats = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(stats["tot"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+
+def test_fp_disturb_prior():
+    from sgtapose_tpu.core import geometry
+
+    M = geometry.get_affine_transform((320.0, 180.0), 640.0, 0.0, (64, 64))
+    pts = jnp.array([[320.0, 180.0]] * 7)
+    hm = geometry.render_noised_prior_heatmap(
+        jax.random.PRNGKey(0), pts, M, 64, 64, 640, 360,
+        hm_disturb=0.1, lost_disturb=0.0, fp_disturb=1.0,
+    )
+    assert hm.shape == (64, 64)
+    assert float(hm.max()) > 0.9
+
+
+def test_depth_loader(tmp_path):
+    import json
+
+    from sgtapose_tpu.data.loaders import load_depth_keypoints
+
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 180.0], [0, 0, 1.0]])
+    R = np.eye(3)
+    pos_cam = np.random.RandomState(0).rand(42, 3) + [0, 0, 2.0]
+    meta = [{
+        "ROBOT NAME": "panda",
+        "keypoints": [{"R2C_mat": R.tolist(), "location_wrt_cam": pos_cam[0].tolist()}],
+        "joints_3n_fixed_42": [{"location_wrt_cam": p.tolist()} for p in pos_cam],
+    }]
+    p = tmp_path / "0000_meta.json"
+    p.write_text(json.dumps(meta))
+    out = load_depth_keypoints(str(p), "panda", K)
+    assert out["projections"].shape == (42, 2)
+    assert out["positions_wrt_robot"].shape == (42, 3)
+    # robot frame anchored at joint 0 with identity rotation
+    np.testing.assert_allclose(out["positions_wrt_robot"][0], 0.0, atol=1e-12)
