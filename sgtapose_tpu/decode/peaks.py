@@ -125,7 +125,10 @@ def _subpixel_refine(map_ori: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, off
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_peaks", "peak_thresh", "ambiguity_gap", "peak_offset", "sigma"),
+    static_argnames=(
+        "max_peaks", "peak_thresh", "ambiguity_gap", "peak_offset", "sigma",
+        "use_reg",
+    ),
 )
 def decode_heatmaps(
     hm: jnp.ndarray,
@@ -136,9 +139,12 @@ def decode_heatmaps(
     ambiguity_gap: float = 0.25,
     peak_offset: float = 0.4395,
     sigma: float = 3.0,
+    use_reg: bool = True,
 ) -> DecodedKeypoints:
     """Decode one frame's outputs. hm: (H, W, C) AFTER sigmoid;
-    reg/tracking: (H, W, 2)."""
+    reg/tracking: (H, W, 2). use_reg=False returns the weighted-average
+    sub-pixel peak directly (the DREAM baseline decode, which has no reg
+    head — ref image_proc.py:1032-1143 used standalone)."""
     H, W, C = hm.shape
     blurred = gaussian_blur(hm, sigma)
     mask = _local_max_mask(blurred, peak_thresh)
@@ -186,10 +192,13 @@ def decode_heatmaps(
 
     reg_at = reg[iy, ix]  # (C, 2)
     trk_at = tracking[iy, ix]
-    coords = jnp.stack(
-        [ix.astype(jnp.float32) + reg_at[:, 0], iy.astype(jnp.float32) + reg_at[:, 1]],
-        axis=1,
-    )
+    if use_reg:
+        coords = jnp.stack(
+            [ix.astype(jnp.float32) + reg_at[:, 0], iy.astype(jnp.float32) + reg_at[:, 1]],
+            axis=1,
+        )
+    else:
+        coords = jnp.stack([sx, sy], axis=1)
     coords = jnp.where(accept[:, None], coords, SENTINEL)
     coords_int = jnp.stack([ix, iy], axis=1)
     return DecodedKeypoints(

@@ -144,3 +144,32 @@ def test_detector_scan_runs():
     sent = kps <= det_lib.KP_SENTINEL + 1e-3
     inrange = (kps > -3000) & (kps < 3000)
     assert np.all(sent | inrange)
+
+
+def test_dream_detector_runs():
+    """Single-frame DREAM-mode path: untrained hourglass, shapes + coordinate
+    conversion round trip."""
+    import numpy as np
+
+    from sgtapose_tpu.config import Config, ModelConfig
+    from sgtapose_tpu.infer.dream_detector import make_dream_detector
+    from sgtapose_tpu.models.dream_baselines import DreamHourglass
+
+    cfg = Config(model=ModelConfig(arch="dreamhourglass", input_res=(64, 64)))
+    model = DreamHourglass(7)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def apply(v, imgs):
+        return model.apply(v, imgs)
+
+    run = make_dream_detector(apply, variables, cfg, raw_wh=(640, 360))
+    raw = np.random.RandomState(0).randint(0, 255, (2, 360, 640, 3), np.uint8)
+    kps, scores = run(raw)
+    assert kps.shape == (2, 7, 2)
+    assert scores.shape == (2, 7)
+    found = kps[..., 0] > -999.0
+    if found.any():
+        # found keypoints must land inside the raw frame's cropped region
+        assert kps[..., 0][found].min() >= 100.0  # 140px gap minus sub-pixel
+        assert kps[..., 0][found].max() < 540.0
