@@ -162,10 +162,14 @@ class CenterNetSingle(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, cur_img, pre_hm=None, train: bool = False):
+    def __call__(self, cur_img, pre_img=None, pre_hm=None, train: bool = False):
         cfg = self.cfg
         channels = (16, 32, 64, 128, 256, 512)
         stem = Stem(channels[0], name="base_stem")(cur_img, train)
+        if pre_img is not None:
+            # CenterTrack conditioning (ref dla.py:314-331: base + pre_img
+            # + pre_hm stems summed)
+            stem = stem + Stem(channels[0], name="pre_img_stem")(pre_img, train)
         if pre_hm is not None:
             stem = stem + Stem(channels[0], name="pre_hm_stem")(pre_hm, train)
         feats = DLA34Backbone(channels, name="base")(stem, train)

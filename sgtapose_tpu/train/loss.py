@@ -52,11 +52,17 @@ def sgta_loss(
     hm = clamped_sigmoid(outputs["hm"])
     hm_loss = jnp.mean((hm - batch["gt_belief_maps"]) ** 2)
 
-    reg_pred = gather_at_keypoints(outputs["reg"], batch["kp_int"])
-    reg_loss = smooth_l1(reg_pred, batch["reg_target"])
+    if "reg" in outputs:
+        reg_pred = gather_at_keypoints(outputs["reg"], batch["kp_int"])
+        reg_loss = smooth_l1(reg_pred, batch["reg_target"])
+    else:  # Dream phase: heatmap-only network (ref Loss.forward :89-97)
+        reg_loss = jnp.float32(0.0)
 
-    trk_pred = gather_at_keypoints(outputs["tracking"], batch["kp_int"])
-    tracking_loss = smooth_l1(trk_pred, batch["tracking_target"])
+    if "tracking" in outputs:
+        trk_pred = gather_at_keypoints(outputs["tracking"], batch["kp_int"])
+        tracking_loss = smooth_l1(trk_pred, batch["tracking_target"])
+    else:
+        tracking_loss = jnp.float32(0.0)
 
     total = hm_weight * hm_loss + reg_weight * reg_loss + tracking_weight * tracking_loss
     return total, {

@@ -63,6 +63,10 @@ def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, jnp.ndarray]:
         "repro_hm": jnp.zeros((B, H, W, 1), f32),
         "pre_hm_cls": jnp.zeros((B, Ho, Wo, C), f32),
         "repro_hm_cls": jnp.zeros((B, Ho, Wo, C), f32),
+        "pre_origin_hm": jnp.zeros((B, H, W, 1), f32),
+        "ppre_img": jnp.zeros((B, H, W, 3), f32),
+        "ppre_hm": jnp.zeros((B, H, W, 1), f32),
+        "ppre_hm_cls": jnp.zeros((B, Ho, Wo, C), f32),
         "gt_belief_maps": jnp.zeros((B, Ho, Wo, C), f32),
         "kp_int": jnp.zeros((B, C, 2), jnp.int32),
         "reg_target": jnp.zeros((B, C, 2), f32),
@@ -70,21 +74,14 @@ def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, jnp.ndarray]:
     }
 
 
-def create_train_state(
-    cfg: Config, rng: jax.Array, max_iters: int = 100000
+def create_train_state_for_phase(
+    cfg: Config, rng: jax.Array, phase: str, max_iters: int = 100000
 ) -> TrainState:
+    from sgtapose_tpu.train.phases import model_inputs
+
     model = create_model(cfg.model)
     batch = example_batch(cfg)
-    variables = model.init(
-        rng,
-        batch["cur_img"],
-        batch["pre_img"],
-        batch["pre_hm"],
-        batch["repro_hm"],
-        batch["pre_hm_cls"],
-        batch["repro_hm_cls"],
-        train=False,
-    )
+    variables = model.init(rng, *model_inputs(phase, batch), train=False)
     schedule = warmup_poly_schedule(
         cfg.train.lr, max_iters, cfg.train.warmup_iters, power=cfg.train.poly_power
     )
@@ -101,33 +98,26 @@ def create_train_state(
     )
 
 
-def model_forward(state: TrainState, params, batch, train: bool, rngs=None):
+def create_train_state(
+    cfg: Config, rng: jax.Array, max_iters: int = 100000
+) -> TrainState:
+    return create_train_state_for_phase(cfg, rng, "PlanA_win", max_iters)
+
+
+def model_forward(
+    state: TrainState, params, batch, train: bool, rngs=None,
+    phase: str = "PlanA_win",
+):
+    from sgtapose_tpu.train.phases import model_inputs
+
     variables = {"params": params, "batch_stats": state.batch_stats}
-    kwargs = dict(train=train)
+    inputs = model_inputs(phase, batch)
     if train:
         out, mutated = state.apply_fn(
-            variables,
-            batch["cur_img"],
-            batch["pre_img"],
-            batch["pre_hm"],
-            batch["repro_hm"],
-            batch["pre_hm_cls"],
-            batch["repro_hm_cls"],
-            mutable=["batch_stats"],
-            rngs=rngs,
-            **kwargs,
+            variables, *inputs, mutable=["batch_stats"], rngs=rngs, train=True
         )
         return out, mutated["batch_stats"]
-    out = state.apply_fn(
-        variables,
-        batch["cur_img"],
-        batch["pre_img"],
-        batch["pre_hm"],
-        batch["repro_hm"],
-        batch["pre_hm_cls"],
-        batch["repro_hm_cls"],
-        **kwargs,
-    )
+    out = state.apply_fn(variables, *inputs, train=False)
     return out, state.batch_stats
 
 
@@ -139,16 +129,18 @@ def train_step(
     reg_weight: float = 0.01,
     tracking_weight: float = 0.0,
     bf16: bool = False,
+    phase: str = "PlanA_win",
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step. bf16=True runs the model compute (params,
     activations, image inputs) in bfloat16 with f32 master params, f32 loss
     targets, and f32 gradients — standard loss-scale-free TPU mixed
-    precision (~2.4x at this chip's bf16/f32 roofline ratio)."""
-    dropout_rng = jax.random.fold_in(dropout_rng, state.step)
+    precision (~2.4x at this chip's bf16/f32 roofline ratio).
+    `phase` selects the model-input wiring + loss terms (train/phases.py)."""
+    from sgtapose_tpu.train.phases import input_names, loss_weights
 
-    model_inputs = (
-        "cur_img", "pre_img", "pre_hm", "repro_hm", "pre_hm_cls", "repro_hm_cls",
-    )
+    dropout_rng = jax.random.fold_in(dropout_rng, state.step)
+    model_inputs = input_names(phase)
+    weights = loss_weights(phase, hm_weight, reg_weight, tracking_weight)
 
     def loss_fn(params):
         if bf16:
@@ -164,10 +156,11 @@ def train_step(
         else:
             fwd_params, fwd_batch, fwd_state = params, batch, state
         out, new_stats = model_forward(
-            fwd_state, fwd_params, fwd_batch, train=True, rngs={"dropout": dropout_rng}
+            fwd_state, fwd_params, fwd_batch, train=True,
+            rngs={"dropout": dropout_rng}, phase=phase,
         )
         out = {k: v.astype(jnp.float32) for k, v in out.items()}
-        total, stats = sgta_loss(out, batch, hm_weight, reg_weight, tracking_weight)
+        total, stats = sgta_loss(out, batch, **weights)
         return total, (stats, new_stats)
 
     (_, (stats, new_batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -188,7 +181,7 @@ def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
     return stats
 
 
-def make_parallel_train_step(mesh, bf16: bool = False, **loss_weights):
+def make_parallel_train_step(mesh, bf16: bool = False, phase: str = "PlanA_win", **loss_weights):
     """jit the train step over the mesh: batch sharded on the data axis,
     state replicated. XLA SPMD inserts the gradient all-reduce (psum over ICI)
     and the global batch-stat reductions."""
@@ -197,7 +190,7 @@ def make_parallel_train_step(mesh, bf16: bool = False, **loss_weights):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
 
-    step = functools.partial(train_step, bf16=bf16, **loss_weights)
+    step = functools.partial(train_step, bf16=bf16, phase=phase, **loss_weights)
     return jax.jit(
         step,
         in_shardings=(repl, data, repl),

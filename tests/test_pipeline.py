@@ -198,3 +198,24 @@ def test_depth_loader(tmp_path):
     assert out["positions_wrt_robot"].shape == (42, 3)
     # robot frame anchored at joint 0 with identity rotation
     np.testing.assert_allclose(out["positions_wrt_robot"][0], 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("phase,arch", [
+    ("CenterTrack", "dlaseg_34"),
+    ("CenterNet", "dlaseg_34"),
+    ("Dream", "dreamhourglass"),
+])
+def test_phase_training(raw_batch, phase, arch):
+    """Non-flagship training phases: one step runs with finite loss."""
+    import functools
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY.model, arch=arch, dla_node="conv")
+    )
+    state = trainer.create_train_state_for_phase(cfg, jax.random.PRNGKey(0), phase, max_iters=100)
+    fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+    step = jax.jit(functools.partial(trainer.train_step, phase=phase))
+    state, stats = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(stats["tot"]))
