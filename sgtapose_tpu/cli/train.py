@@ -58,6 +58,8 @@ def parse_args(argv=None):
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 model compute with f32 master params")
+    p.add_argument("--phase", default="PlanA_win",
+                   help="training phase: PlanA_win | CenterTrack | CenterNet | Dream")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--log_every", type=int, default=50)
     return p.parse_args(argv)
@@ -120,7 +122,7 @@ def main(argv=None):
     max_iters = max(iters_per_epoch * cfg.train.num_epochs, 1)
 
     rng = jax.random.PRNGKey(args.seed)
-    state = trainer.create_train_state(cfg, rng, max_iters=max_iters)
+    state = trainer.create_train_state_for_phase(cfg, rng, args.phase, max_iters=max_iters)
     if args.resume:
         state = trainer.load_checkpoint(os.path.abspath(args.resume), state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
@@ -129,6 +131,7 @@ def main(argv=None):
     pstep = trainer.make_parallel_train_step(
         mesh,
         bf16=args.bf16,
+        phase=args.phase,
         hm_weight=cfg.train.hm_weight,
         reg_weight=cfg.train.reg_weight,
         tracking_weight=cfg.train.tracking_weight,
