@@ -217,10 +217,20 @@ def solve_pnp(
     q, t = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
 
     n_valid = jnp.sum(w)
+    # degenerate-solution gate: a pose whose reprojection is wildly off never
+    # converged (near-planar/clustered configurations can defeat the DLT
+    # init); report failure like cv2's pnp_retval=False so callers take their
+    # fallback paths (ref geometric_vision.py:111-116 except branch)
+    R = geometry.quat_to_matrix(q)
+    proj = geometry.project_points(x3d, R, t, K)
+    reproj_err = jnp.sum(jnp.linalg.norm(proj - x2d, axis=1) * w) / jnp.maximum(
+        n_valid, 1.0
+    )
     ok = (
         (n_valid >= 4)
         & jnp.all(jnp.isfinite(q))
         & jnp.all(jnp.isfinite(t))
+        & (reproj_err < 1e3)
     )
     q = jnp.where(ok, q, jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
     t = jnp.where(ok, t, jnp.zeros(3, jnp.float32))
