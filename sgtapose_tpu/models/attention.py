@@ -182,14 +182,15 @@ class TransformerEncoderLayer(nn.Module):
         )(query, key, value)
         # reference quirk: dropout on the residual query, not the attn output
         resid = nn.Dropout(self.dropout, deterministic=not train)(query)
-        x = nn.LayerNorm(name="norm1")(attn + resid)
+        # epsilon matches torch nn.LayerNorm (1e-5) for checkpoint parity
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(attn + resid)
         # FFN
         y = nn.Dense(self.d_ffn, name="linear1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.d_inp, name="linear2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(name="norm3")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
 
 
 class TransformerEncoder(nn.Module):

@@ -50,7 +50,11 @@ def _dcn_main(w):
 
 
 def _up(w):
-    return np.transpose(w, (2, 3, 1, 0))
+    # ConvTranspose2d expressed as an lhs-dilated regular conv needs the
+    # kernel spatially flipped (rot180): transposed conv correlates with the
+    # flipped kernel. The bilinear init is symmetric, so this only shows up
+    # with trained (asymmetric) weights — caught by test_parity_torch.
+    return np.transpose(w, (2, 3, 1, 0))[::-1, ::-1].copy()
 
 
 def _basic_block(ref: str):
@@ -63,9 +67,14 @@ def _basic_block(ref: str):
     }
 
 
-def _flag_map() -> Dict[str, Tuple[str, Optional[callable]]]:
+def _flag_map(dla_node: str = "dcn") -> Dict[str, Tuple[str, Optional[callable]]]:
     """our param path -> (ref name/prefix, transform). BN entries map the
-    module prefix; scale/bias/mean/var resolve inside convert()."""
+    module prefix; scale/bias/mean/var resolve inside convert().
+
+    dla_node selects the decoder-node naming: "dcn" maps the reference's
+    DeformConv (conv_offset_mask + DCN main + actf BN, ref dla.py:538-550);
+    "conv" maps the reference's Conv node (Sequential(1x1 conv, BN, ReLU) under
+    `.conv.0/.conv.1`, ref dla.py:498-507) used when --dla_node conv."""
     m: Dict[str, Tuple[str, Optional[callable]]] = {}
 
     # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
@@ -100,6 +109,10 @@ def _flag_map() -> Dict[str, Tuple[str, Optional[callable]]]:
 
     # decoder ida modules
     def add_deform(our: str, ref: str):
+        if dla_node == "conv":
+            m[f"{our}/conv/kernel"] = (f"{ref}.conv.0.weight", _conv)
+            m[f"{our}/BatchNorm_0"] = (f"{ref}.conv.1", None)
+            return
         m[f"{our}/conv/conv_offset_mask/kernel"] = (
             f"{ref}.conv.conv_offset_mask.weight", _conv)
         m[f"{our}/conv/conv_offset_mask/bias"] = (
@@ -169,6 +182,7 @@ def convert_state_dict(
     batch_stats,
     bgr_to_rgb: bool = True,
     strict: bool = True,
+    dla_node: str = "dcn",
 ):
     """Returns (new_params, new_batch_stats, report). Shapes are validated
     against the provided trees (like load_model's shape-mismatch skip, but
@@ -176,7 +190,7 @@ def convert_state_dict(
     import jax
 
     sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
-    mapping = _flag_map()
+    mapping = _flag_map(dla_node)
     used = set()
     missing, mismatched = [], []
 

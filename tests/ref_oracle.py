@@ -1,0 +1,147 @@
+"""Import shims for the LIVING reference at /root/reference/sgtapose.
+
+torch 2.13 (CPU), einops, cv2, scipy and the reference's actual native solver
+(rf_tools/libtestso_final.so) are all present in this image, so parity can be
+asserted against the real code instead of re-derived formulas.
+
+Obstacles handled here:
+  * `import sgtapose` (the reference package __init__) pulls in ruamel.yaml /
+    pyrr / transforms3d, which are NOT installed. But the model stack
+    (lib/model/...) only uses `sgtapose.image_proc.peaks_from_belief_maps`
+    (lib/model/utils.py:214), and image_proc.py itself is dependency-clean.
+    So we register a minimal fake `sgtapose` module whose `image_proc`
+    attribute is the REAL image_proc.py loaded standalone by file path.
+  * rf_tools/LM.py hardcodes a dead absolute .so path (rf_tools/LM.py:10),
+    so the native LM is loaded here directly via ctypes with the exact
+    register_GN_C marshaling (rf_tools/LM.py:256-266).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference/sgtapose"
+REF_SO = os.path.join(REF_ROOT, "rf_tools", "libtestso_final.so")
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+def _load_standalone(modname: str, path: str):
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ensure_ref_importable():
+    """Make `from lib.model.networks.dla import ...` work against the
+    reference tree, with a fake `sgtapose` exposing the real image_proc."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    if "torchvision" not in sys.modules:
+        # torchvision isn't installed; image_proc imports it at module level
+        # but peaks_from_belief_maps (the only function we call) never uses
+        # it. Empty-module stubs let the real file load.
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv_f = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tv_t
+        tv_t.functional = tv_f
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+        sys.modules["torchvision.transforms.functional"] = tv_f
+    if "sgtapose" not in sys.modules or not hasattr(
+        sys.modules["sgtapose"], "image_proc"
+    ):
+        image_proc = _load_standalone(
+            "_ref_image_proc", os.path.join(REF_ROOT, "image_proc.py")
+        )
+        fake = types.ModuleType("sgtapose")
+        fake.__doc__ = "shim: reference image_proc only (see tests/ref_oracle.py)"
+        fake.image_proc = image_proc
+        sys.modules["sgtapose"] = fake
+    return sys.modules["sgtapose"]
+
+
+def ref_image_proc():
+    return ensure_ref_importable().image_proc
+
+
+def ref_dla_module():
+    ensure_ref_importable()
+    from lib.model.networks import dla  # noqa: E402
+
+    return dla
+
+
+def ref_model_utils():
+    ensure_ref_importable()
+    from lib.model import utils  # noqa: E402
+
+    return utils
+
+
+_so = None
+
+
+def ref_lm_so() -> ctypes.CDLL:
+    global _so
+    if _so is None:
+        _so = ctypes.CDLL(REF_SO)
+    return _so
+
+
+def ref_lm(x2d: np.ndarray, x3d: np.ndarray, quat_init: np.ndarray,
+           trans_init: np.ndarray, weights: np.ndarray, K: np.ndarray):
+    """Call the reference's real C++/Eigen LM exactly like register_GN_C
+    (rf_tools/LM.py:256-266): value[7] = [q(4, wxyz per `fun`), t(3)],
+    weights flattened (N,2) + trailing (1e8, 1e8) constraint pair.
+    Returns (quat(4,), trans(3,))."""
+    so = ref_lm_so()
+    n = int(x2d.shape[0])
+    value = (ctypes.c_double * 7)(*np.concatenate(
+        [np.asarray(quat_init, np.float64).ravel(),
+         np.asarray(trans_init, np.float64).ravel()]))
+    x2d_c = (ctypes.c_double * (n * 2))(*np.asarray(x2d, np.float64).ravel())
+    x3d_c = (ctypes.c_double * (n * 3))(*np.asarray(x3d, np.float64).ravel())
+    w_full = np.concatenate(
+        [np.asarray(weights, np.float64).reshape(n, 2),
+         np.full((1, 2), 1e8)]).ravel()
+    w_c = (ctypes.c_double * (n * 2 + 2))(*w_full)
+    cam_c = (ctypes.c_double * 9)(*np.asarray(K, np.float64).ravel())
+    ans = (ctypes.c_double * 7)(*([0.0] * 7))
+    so.LM(value, x2d_c, x3d_c, w_c, cam_c, ans, n)
+    out = np.array(list(ans))
+    return out[:4], out[4:]
+
+
+def make_ref_opt(**overrides):
+    """Minimal opt namespace for instantiating reference models on CPU
+    (conv decoder nodes; no pretrained download — load_model non-empty)."""
+    base = dict(
+        head_kernel=3,
+        prior_bias=-4.6,
+        dla_node="conv",
+        load_model="x",  # != '' -> skips the ImageNet pretrained download
+        pre_img=True,
+        pre_hm=True,
+        ct_modify=True,  # repro_hm_layer exists in checkpoints (unused by fwd)
+        num_classes=7,
+        pos_embed=True,
+        model_output_list=False,
+        k_list_1=1, k_list_2=1, k_list_3=1, k_list_4=1, k_list_5=1, k_list_6=1,
+        ks1=12, ks2=6, ks3=3, ks4=1, ks5=1, ks6=1,
+    )
+    base.update(overrides)
+    return types.SimpleNamespace(**base)
+
+
+HEADS = {"hm": 7, "reg": 2, "wh": 2, "tracking": 2}
+HEAD_CONVS = {k: [256] for k in HEADS}
