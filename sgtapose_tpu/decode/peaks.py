@@ -20,10 +20,12 @@ Reference semantics reproduced:
   * sub-pixel final coordinate = int(peak) + reg gathered at that pixel
     (dream_generic_decode's cts_wreg)
 
-Documented deviation: the reference sorts competing peaks by their y
-coordinate (`key=lambda x: x[1]` — index 1 is y; upstream DREAM sorts by
-score, and the comment says "Try to use the belief map scores"). We sort by
-score, which is the evident intent.
+Documented deviation (now switchable): the reference sorts competing peaks by
+their sub-pixel y coordinate (`key=lambda x: x[1]` — index 1 is y_avg; upstream
+DREAM sorts by score, and the comment says "Try to use the belief map scores").
+The default `ref_sort="score"` sorts by score, the evident intent;
+`ref_sort="y"` reproduces the reference's exact (buggy) y-descending order for
+checkpoint-parity evaluation (lib/model/utils.py:226-229).
 """
 
 from __future__ import annotations
@@ -127,7 +129,7 @@ def _subpixel_refine(map_ori: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, off
     jax.jit,
     static_argnames=(
         "max_peaks", "peak_thresh", "ambiguity_gap", "peak_offset", "sigma",
-        "use_reg",
+        "use_reg", "ref_sort",
     ),
 )
 def decode_heatmaps(
@@ -140,11 +142,13 @@ def decode_heatmaps(
     peak_offset: float = 0.4395,
     sigma: float = 3.0,
     use_reg: bool = True,
+    ref_sort: str = "score",
 ) -> DecodedKeypoints:
     """Decode one frame's outputs. hm: (H, W, C) AFTER sigmoid;
     reg/tracking: (H, W, 2). use_reg=False returns the weighted-average
     sub-pixel peak directly (the DREAM baseline decode, which has no reg
-    head — ref image_proc.py:1032-1143 used standalone)."""
+    head — ref image_proc.py:1032-1143 used standalone).
+    ref_sort: "score" (intent) or "y" (reference parity; see module doc)."""
     H, W, C = hm.shape
     blurred = gaussian_blur(hm, sigma)
     mask = _local_max_mask(blurred, peak_thresh)
@@ -165,22 +169,31 @@ def decode_heatmaps(
     )  # (C, P)
     scores = jnp.where(cand_valid, scores, -jnp.inf)
 
-    # best + runner-up by ORIGINAL score (see module docstring re: ref sort)
-    order = jnp.argsort(-scores, axis=1)
+    # sub-pixel refine every candidate (cheap: P<=8 per class); needed up
+    # front because ref_sort="y" orders by the REFINED y coordinate
+    sxs, sys_ = jax.vmap(
+        jax.vmap(_subpixel_refine, in_axes=(None, 0, 0, None)),
+        in_axes=(0, 0, 0, None),
+    )(hm_cf, px, py, peak_offset)  # (C, P) each
+
+    if ref_sort == "y":
+        # reference: sorted(peak, key=lambda x: x[1], reverse=True) — peaks
+        # ordered by sub-pixel y descending; the >=0.25 score gap is then
+        # checked between the first two in THAT order
+        sort_key = jnp.where(cand_valid, sys_, -jnp.inf)
+    else:
+        sort_key = scores
+    order = jnp.argsort(-sort_key, axis=1)
     best = order[:, 0]
     second = order[:, 1]
     take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
     best_score = take(scores, best)
     second_score = take(scores, second)
-    best_px = take(px, best)
-    best_py = take(py, best)
 
     accept = (n_peaks == 1) | ((n_peaks > 1) & (best_score - second_score >= ambiguity_gap))
 
-    # sub-pixel refine the accepted peak per class
-    sx, sy = jax.vmap(_subpixel_refine, in_axes=(0, 0, 0, None))(
-        hm_cf, best_px, best_py, peak_offset
-    )
+    sx = take(sxs, best)
+    sy = take(sys_, best)
     # integer coords the reference gathers reg at: int() of the refined value
     ix = jnp.trunc(sx).astype(jnp.int32)
     iy = jnp.trunc(sy).astype(jnp.int32)
