@@ -13,6 +13,7 @@ Differences from the reference runtime (by design):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 
@@ -136,7 +137,7 @@ def main(argv=None):
         reg_weight=cfg.train.reg_weight,
         tracking_weight=cfg.train.tracking_weight,
     )
-    eval_fn = jax.jit(trainer.eval_step)
+    eval_fn = jax.jit(functools.partial(trainer.eval_step, phase=args.phase))
     drop_rng = jax.random.PRNGKey(args.seed + 1)
 
     for epoch in range(1, cfg.train.num_epochs + 1):

@@ -175,9 +175,16 @@ def train_step(
     return new_state, stats
 
 
-def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
-    out, _ = model_forward(state, state.params, batch, train=False)
-    _, stats = sgta_loss(out, batch)
+def eval_step(
+    state: TrainState, batch, phase: str = "PlanA_win"
+) -> Dict[str, jnp.ndarray]:
+    """Validation forward + loss for the given phase (ref valid_epoch,
+    trainer_parallel.py:153-217, which dispatches on opt.phase like
+    run_epoch does)."""
+    from sgtapose_tpu.train.phases import loss_weights
+
+    out, _ = model_forward(state, state.params, batch, train=False, phase=phase)
+    _, stats = sgta_loss(out, batch, **loss_weights(phase))
     return stats
 
 

@@ -66,6 +66,40 @@ def test_train_then_infer(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_non_default_phase_with_validation(tmp_path):
+    """Regression: eval_step used to hardcode phase PlanA_win, so
+    `--phase CenterNet --val_dataset X` crashed (wrong input arity) at the
+    first validation pass."""
+    train_dir = str(tmp_path / "train_data")
+    val_dir = str(tmp_path / "val_data")
+    out_dir = str(tmp_path / "exp")
+    write_synthetic_dataset(train_dir, n_videos=1, n_frames=3, seed=0)
+    write_synthetic_dataset(val_dir, n_videos=1, n_frames=3, seed=1)
+
+    from sgtapose_tpu.cli import train as train_cli
+
+    train_cli.main(
+        [
+            "--dataset", train_dir,
+            "--val_dataset", val_dir,
+            "--output_dir", out_dir,
+            "--phase", "CenterNet",
+            "--arch", "centernet",
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+        ]
+        + COMMON
+    )
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "epoch_1"))
+    # val metrics got logged
+    with open(os.path.join(out_dir, "metrics.jsonl")) as fh:
+        lines = [json.loads(l) for l in fh]
+    assert any(l.get("prefix") == "val" for l in lines)
+
+
+@pytest.mark.slow
 def test_infer_real_mode(tmp_path):
     """DREAM-real-format inference path (split info + camera settings +
     objects-format jsons)."""
