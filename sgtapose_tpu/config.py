@@ -89,6 +89,11 @@ class ModelConfig:
     # Scale from 120x120 cls-heatmap coords into each feature level's resolution
     # (ref: dla.py:1493 scale_list)
     scale_list: Tuple[float, ...] = (4.0, 2.0, 1.0, 0.5, 0.25, 0.125)
+    # DLA_PlanA (dlapa) global-attention token count (ref dla.py:1022 K=28)
+    topk_global: int = 28
+    # DLA_PlanAAblation trunk/prior wiring (ref dla.py:1198-1240, selected by
+    # opt.phase): wo_shared | shared | shared_repro
+    ablation_mode: str = "shared_repro"
     # dtype policy: params in f32, activations bf16 on TPU
     use_bf16: bool = True
 

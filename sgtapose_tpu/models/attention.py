@@ -48,6 +48,29 @@ def topk_class_indices(hm_cls: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1)
 
 
+def topk_flat_fractions(hm: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k flat indices of a prior heatmap, normalized to [0, 1) fractions
+    of H*W (ref get_topk_pairs dla.py:889-896, used by DLA_PlanA). The
+    fraction is re-scaled into each feature level's flat index space by the
+    caller — the reference's quirky flat-index renormalization (NOT an (x,y)
+    coordinate scale) is reproduced exactly, including the float32 rounding
+    of `topk_idx / (H*W)` then truncation at `frac * Hf*Wf`.
+
+    hm: (B, H, W, C) (C=1 for the 480^2 priors). Returns (B, C*k) float32.
+    """
+    B, H, W, C = hm.shape
+    flat = hm.transpose(0, 3, 1, 2).reshape(B, C, H * W)
+    _, idx = jax.lax.top_k(flat, k)  # (B, C, k)
+    frac = idx.astype(jnp.float32) / jnp.float32(H * W)
+    return frac.reshape(B, C * k)
+
+
+def flat_ids_from_fractions(frac: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """(B, M) fractions -> (B, M) int32 flat ids at this level's resolution
+    (ref get_topk_features dla.py:972-987: `(topk * H * W).long()`)."""
+    return (frac * jnp.float32(height * width)).astype(jnp.int32)
+
+
 def window_feat_ids(
     topk_xy: jnp.ndarray, scale: float, kernel: int, height: int, width: int
 ) -> jnp.ndarray:

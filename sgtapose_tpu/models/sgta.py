@@ -197,12 +197,28 @@ class CenterNetSingle(nn.Module):
 
 def create_model(cfg: ModelConfig):
     """Arch factory (ref model.py:14-29 _network_factory + create_model).
-    Arch names mirror the reference's: dlapawdl3new_34 (flagship),
-    dlapawd3_34 (3-frame), dlapacat_34 (concat baseline), dreamhourglass,
-    resnetsimple, dlaseg (CenterNet single-frame)."""
+    Every reference _network_factory name maps to its TRUE architecture —
+    unknown or unimplemented names raise instead of silently routing to the
+    flagship. Names: dlapawdl3new_34 (flagship), dlapa_34 (global attention),
+    dlapawd_34 (window + dense tail), dlapawd3_34 (3-frame,
+    dlapawd3shared_34 with shared CA), dlapacat_34 (concat baseline),
+    dlaabla_34 (ablations via cfg.ablation_mode), dreamhourglass,
+    resnetsimple, dlaseg/centernet (single-frame)."""
     arch = cfg.arch.split("_")[0]
-    if arch in ("dlapawdl3new", "dlapa", "dlapaw", "dlapawd"):
+    if arch == "dlapawdl3new":
         return SGTAPose(cfg)
+    if arch == "dlapa":
+        from sgtapose_tpu.models.variants import SGTAPoseGlobal
+
+        return SGTAPoseGlobal(cfg)
+    if arch == "dlapawd":
+        from sgtapose_tpu.models.variants import SGTAPoseWindowDense
+
+        return SGTAPoseWindowDense(cfg)
+    if arch == "dlaabla":
+        from sgtapose_tpu.models.variants import SGTAPoseAblation
+
+        return SGTAPoseAblation(cfg)
     if arch in ("dlapawd3", "dlapawthree"):
         from sgtapose_tpu.models.variants import SGTAPoseThree
 

@@ -8,6 +8,17 @@ Rebuilds of ref lib/model/networks/dla.py variants:
   * SGTAPoseCat    — channel-concat temporal baseline (DLA_PlanACAT
     :1106-1156): no attention, previous+current features concatenated and
     mixed by a 1x1 conv per level
+  * SGTAPoseGlobal — DLA_PlanA (:1021-1104): global top-K=28 attention on all
+    6 levels, tokens selected by flat-index fractions of the FULL-RES
+    1-channel priors (get_topk_pairs :889-896), plain MHA without position
+    bias (TransformerEncoderLayerOri/MHCA :745-846)
+  * SGTAPoseWindowDense — DLA_PlanAWindow (:1252-1346): levels 0-2 windowed
+    attention like the flagship, levels 3-5 DENSE per-pixel concat+cat_layer
+    MLP fusion
+  * SGTAPoseAblation — DLA_PlanAAblation (:1158-1248): dense cat_layer fusion
+    at every level; trunk sharing / prior wiring selected by ablation_mode
+    (ref opt.phase: ablation_wo_shared / ablation_shared /
+    ablation_shared_repro)
 All reuse the same trunk/decoder/head modules as the flagship.
 """
 
@@ -140,6 +151,169 @@ class SGTAPoseThree(nn.Module):
             pre_i = stage1(ppre[i], pre[i], ppre_hm_cls, pre_hm_cls, train)
             fused.append(stage2(pre_i, cur[i], pre_hm_cls, repro_hm_cls, train))
 
+        return _DecoderHeads(cfg, name="decoder")(fused, train)
+
+
+class _DenseCatFusion(nn.Module):
+    """Per-pixel 2-layer MLP fusion of (pre, cur) features — the reference's
+    cat_layer applied DENSELY over the whole map (DLA_PlanAWindow levels 3-5
+    dla.py:1330-1336; DLA_PlanAAblation all levels :1205-1240). Channel order
+    is cat([pre, cur])."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, pre_f, cur_f):
+        x = jnp.concatenate([pre_f, cur_f], axis=-1)
+        return attn_lib.CatLayer(self.features, name="mlp")(x)
+
+
+class SGTAPoseGlobal(nn.Module):
+    """DLA_PlanA (ref dla.py:1021-1104): global top-K attention on all 6
+    levels. Tokens come from the top-K=28 flat indices of the FULL-RES
+    1-channel pre/repro priors, renormalized into each level's flat index
+    space (the reference's idx/(H*W) fraction quirk). Attention is plain MHA
+    (no learned position bias), 3 weight-tied layers per level. The cls
+    priors are accepted for interface parity but unused (as in the ref)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, cur_img, pre_img, pre_hm, repro_hm,
+        pre_hm_cls=None, repro_hm_cls=None, train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+        hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
+        feats = DLA34Backbone(channels, name="base")(
+            stem_img(imgs, train) + stem_hm(hms, train), train
+        )
+
+        pre_frac = attn_lib.topk_flat_fractions(pre_hm, cfg.topk_global)
+        cur_frac = attn_lib.topk_flat_fractions(repro_hm, cfg.topk_global)
+
+        fused = []
+        for i in range(6):
+            pre_f, cur_f = feats[i][:B], feats[i][B:]
+            Hf, Wf, C = pre_f.shape[1], pre_f.shape[2], pre_f.shape[3]
+            pre_ids = attn_lib.flat_ids_from_fractions(pre_frac, Hf, Wf)
+            cur_ids = attn_lib.flat_ids_from_fractions(cur_frac, Hf, Wf)
+            pre_key = attn_lib.gather_window_features(pre_f, pre_ids)
+            cur_query = attn_lib.gather_window_features(cur_f, cur_ids)
+            out = attn_lib.TransformerEncoder(
+                d_inp=16 * (2 ** i),
+                d_model=4 * (2 ** i),
+                n_tokens=cfg.topk_global,
+                num_layers=cfg.num_decoder_layers,
+                n_heads=cfg.n_heads,
+                pos_embed=False,  # TransformerEncoderLayerOri uses plain MHCA
+                name=f"transformer_{i}",
+            )(cur_query, pre_key, pre_key, train)
+            merged = attn_lib.CatLayer(C, name=f"cat_layer_{i}")(
+                jnp.concatenate([out, cur_query], axis=-1)
+            )
+            fused.append(attn_lib.scatter_window_features(cur_f, cur_ids, merged))
+
+        return _DecoderHeads(cfg, name="decoder")(fused, train)
+
+
+class SGTAPoseWindowDense(nn.Module):
+    """DLA_PlanAWindow (ref dla.py:1252-1346): levels 0-2 windowed
+    cross-attention (same machinery as the flagship), levels 3-5 dense
+    per-pixel concat + cat_layer MLP fusion (no top-k substitution)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, cur_img, pre_img, pre_hm, repro_hm,
+        pre_hm_cls, repro_hm_cls, train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+        hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
+        feats = DLA34Backbone(channels, name="base")(
+            stem_img(imgs, train) + stem_hm(hms, train), train
+        )
+
+        fused = []
+        for i in range(6):
+            pre_f, cur_f = feats[i][:B], feats[i][B:]
+            if i < 3:
+                fused.append(
+                    _WindowAttention(cfg, i, name=f"attn_{i}")(
+                        pre_f, cur_f, pre_hm_cls, repro_hm_cls, train
+                    )
+                )
+            else:
+                fused.append(
+                    _DenseCatFusion(channels[i], name=f"cat_layer_{i}")(pre_f, cur_f)
+                )
+        return _DecoderHeads(cfg, name="decoder")(fused, train)
+
+
+class SGTAPoseAblation(nn.Module):
+    """DLA_PlanAAblation (ref dla.py:1158-1248): dense cat_layer fusion at
+    every level; ablation_mode selects trunk sharing + prior wiring:
+      wo_shared    — separate trunks; cur pass gets NO prior heatmap
+      shared       — shared trunk;   cur pass gets NO prior heatmap
+      shared_repro — shared trunk;   cur pass conditioned on repro_hm
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self, cur_img, pre_img, pre_hm, repro_hm,
+        pre_hm_cls=None, repro_hm_cls=None, train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        mode = cfg.ablation_mode
+        if mode not in ("wo_shared", "shared", "shared_repro"):
+            raise ValueError(f"unknown ablation_mode: {mode}")
+        B = cur_img.shape[0]
+        channels = (16, 32, 64, 128, 256, 512)
+
+        stem_img = Stem(channels[0], name="pre_img_stem")
+        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        if mode == "wo_shared":
+            # two trunks: base (prev, with prior) and base1 (cur, no prior)
+            pre_stem = stem_img(pre_img, train) + stem_hm(pre_hm, train)
+            pre_feats = DLA34Backbone(channels, name="base")(pre_stem, train)
+            cur_stem = Stem(channels[0], name="cur_img_stem")(cur_img, train)
+            cur_feats = DLA34Backbone(channels, name="base1")(cur_stem, train)
+            pre = pre_feats
+            cur = cur_feats
+        else:
+            if mode == "shared_repro":
+                imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+                hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
+                stem = stem_img(imgs, train) + stem_hm(hms, train)
+            else:  # shared: cur pass without any prior heatmap stem
+                imgs = jnp.concatenate([pre_img, cur_img], axis=0)
+                stem = stem_img(imgs, train)
+                stem = jnp.concatenate(
+                    [stem[:B] + stem_hm(pre_hm, train), stem[B:]], axis=0
+                )
+            feats = DLA34Backbone(channels, name="base")(stem, train)
+            pre = [f[:B] for f in feats]
+            cur = [f[B:] for f in feats]
+
+        fused = [
+            _DenseCatFusion(channels[i], name=f"cat_layer_{i}")(pre[i], cur[i])
+            for i in range(6)
+        ]
         return _DecoderHeads(cfg, name="decoder")(fused, train)
 
 

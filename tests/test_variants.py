@@ -53,8 +53,91 @@ def test_cat_baseline_forward():
 @pytest.mark.parametrize(
     "arch",
     ["dlapawdl3new_34", "dlapawd3_34", "dlapacat_34", "dreamhourglass",
-     "resnetsimple", "dlaseg_34"],
+     "resnetsimple", "dlaseg_34", "dlapa_34", "dlapawd_34", "dlaabla_34"],
 )
 def test_factory(arch):
     cfg = ModelConfig(arch=arch, input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1))
     assert create_model(cfg) is not None
+
+
+def test_factory_rejects_unknown():
+    """The factory must fail loudly instead of silently routing an
+    unimplemented name to the flagship (round-1 bug)."""
+    with pytest.raises(ValueError):
+        create_model(ModelConfig(arch="dlapawx_34"))
+    with pytest.raises(ValueError):
+        create_model(ModelConfig(arch="hourglass_104"))
+
+
+def test_global_attention_forward():
+    """DLA_PlanA equivalent: full-res 1-ch priors drive global top-K tokens."""
+    from sgtapose_tpu.models.variants import SGTAPoseGlobal
+
+    img, hm, cls = _imgs()
+    m = SGTAPoseGlobal(TINY)
+    v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, cls, cls, train=False)
+    out = m.apply(v, img, img, hm, hm, cls, cls, train=False)
+    assert out["hm"].shape == (1, 16, 16, 7)
+    assert np.isfinite(np.asarray(out["hm"])).all()
+    # all 6 levels have (weight-tied) transformers, none with pos_embed
+    p = v["params"]
+    for i in range(6):
+        t = p[f"transformer_{i}"]["layer"]["cross_attn"]
+        assert "pos_embed" not in t, f"level {i} must be plain MHCA"
+
+
+def test_window_dense_forward():
+    """DLA_PlanAWindow equivalent: attn levels 0-2, dense cat_layer 3-5."""
+    from sgtapose_tpu.models.variants import SGTAPoseWindowDense
+
+    img, hm, cls = _imgs()
+    m = SGTAPoseWindowDense(TINY)
+    v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, cls, cls, train=False)
+    out = m.apply(v, img, img, hm, hm, cls, cls, train=False)
+    assert out["hm"].shape == (1, 16, 16, 7)
+    p = v["params"]
+    assert "attn_0" in p and "attn_2" in p and "attn_3" not in p
+    assert "cat_layer_3" in p and "cat_layer_5" in p
+
+
+@pytest.mark.parametrize("mode", ["wo_shared", "shared", "shared_repro"])
+def test_ablation_forward(mode):
+    import dataclasses
+
+    from sgtapose_tpu.models.variants import SGTAPoseAblation
+
+    img, hm, cls = _imgs()
+    cfg = dataclasses.replace(TINY, ablation_mode=mode)
+    m = SGTAPoseAblation(cfg)
+    v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, train=False)
+    out = m.apply(v, img, img, hm, hm, train=False)
+    assert out["hm"].shape == (1, 16, 16, 7)
+    if mode == "wo_shared":
+        assert "base1" in v["params"]  # separate current-frame trunk
+    else:
+        assert "base1" not in v["params"]
+
+
+def test_global_trains_one_step():
+    """dlapa takes a gradient step without NaNs (PlanA_win phase wiring)."""
+    import dataclasses
+
+    import optax
+
+    from sgtapose_tpu.models.variants import SGTAPoseGlobal
+
+    img, hm, cls = _imgs()
+    m = SGTAPoseGlobal(TINY)
+    v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, cls, cls, train=False)
+
+    def loss_fn(params):
+        out = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            img, img, hm, hm, cls, cls, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+        )[0]
+        return jnp.mean(out["hm"] ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
