@@ -137,6 +137,11 @@ def run_synthetic(args, cfg: Config, model, variables):
             },
             f,
         )
+    results["_multiframe_inputs"] = dict(
+        det=det, gt=gt.astype(np.float32), pos=pos.astype(np.float32),
+        camera_K=camera_K, image_resolution=(raw_hw[1], raw_hw[0]),
+        video_lengths=[a.shape[0] for a in all_det], set_name="syn",
+    )
     return results
 
 
@@ -209,11 +214,17 @@ def run_real(args, cfg: Config, model, variables):
     ) as f:
         json.dump({"dt": det.tolist(), "json": json_list}, f, indent=1)
 
-    return analyze_sequence_results(
+    results = analyze_sequence_results(
         det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
         (raw_hw[1], raw_hw[0]), args.output_dir, set_name=args.is_real,
         sample_names=sample_names, rf=args.rf, syn=False,
     )
+    results["_multiframe_inputs"] = dict(
+        det=det, gt=gt.astype(np.float32), pos=pos.astype(np.float32),
+        camera_K=camera_K, image_resolution=(raw_hw[1], raw_hw[0]),
+        video_lengths=[a.shape[0] for a in all_det], set_name=args.is_real,
+    )
+    return results
 
 
 def main(argv=None):
@@ -241,20 +252,32 @@ def main(argv=None):
         results = run_synthetic(args, cfg, model, variables)
 
     if args.multi_frame > 0:
-        # sliding-window multiframe PnP report (ref inference.py:284-294 +
-        # analysis.py solve_multiframe_pnp)
-        import numpy as np
+        # Multiframe PnP (ref analysis.py:95-599): both estimators — the
+        # sliding-window per-video one (solve_multiframe_pnp) and the
+        # random-combination one (solve_multiframe_pnp_real).
+        from sgtapose_tpu.eval.analysis import (
+            solve_multiframe_pnp,
+            solve_multiframe_pnp_real,
+        )
 
-        from sgtapose_tpu.eval.analysis import solve_multiframe_pnp
-
-        with open(os.path.join(args.output_dir,
-                               "dt_and_gt.json" if not args.is_real
-                               else f"dt_and_json_{args.is_real}.json")) as f:
-            blob = json.load(f)
-        det = np.asarray(blob.get("detections", blob.get("dt")), np.float32)
-        # static scene approximation: robot-frame keypoints repeated per frame
-        print(f"multiframe PnP over window={args.multi_frame}: "
-              f"{det.shape[0]} frames")
+        mi = results.pop("_multiframe_inputs")
+        mf = solve_multiframe_pnp(
+            mi["det"], mi["gt"], mi["pos"], mi["camera_K"],
+            mi["image_resolution"], multiframe=args.multi_frame,
+            video_lengths=mi["video_lengths"], rf=args.rf,
+            output_dir=args.output_dir, set_name=mi["set_name"],
+        )
+        mf_real = solve_multiframe_pnp_real(
+            mi["det"], mi["pos"], mi["camera_K"],
+            multiframe=args.multi_frame, rf=args.rf,
+            output_dir=args.output_dir, set_name=mi["set_name"],
+        )
+        results["multiframe_pnp_metrics"] = mf
+        results["multiframe_pnp_real_metrics"] = mf_real
+        print(f"multiframe({args.multi_frame}) ADD AUC@0.06m: "
+              f"sliding={mf['add_auc']:.5f} random={mf_real['add_auc']:.5f}")
+    else:
+        results.pop("_multiframe_inputs", None)
     km, pm = results["keypoint_metrics"], results["pnp_metrics"]
     print(f"PCK AUC@12px: {km['l2_error_auc']}")
     print(f"ADD AUC@0.06m: {pm['add_auc']}")

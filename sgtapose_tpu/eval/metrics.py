@@ -126,9 +126,10 @@ def pnp_metrics(
 # -----------------------------------------------------------------------------
 
 
-def _frame_add(detected, gt_projs, gt_pos_cam, K_cam, rf: bool):
-    """One frame: PnP on detected subset + optional LM refine -> ADD.
-    detected/gt_projs: (K, 2); gt_pos_cam: (K, 3). Returns (add, success)."""
+def _frame_add(detected, gt_pos_cam, K_cam, rf: bool):
+    """One frame (or stacked multiframe window): PnP on the detected subset +
+    optional LM refine -> ADD. detected: (M, 2); gt_pos_cam: (M, 3).
+    Returns (add, success)."""
     valid = jnp.all(detected > PNP_MAGIC, axis=1)
     res = pnp.solve_pnp(gt_pos_cam, detected, K_cam, valid)
     R = geometry.quat_to_matrix(res.quat)
@@ -159,17 +160,16 @@ def _frame_add(detected, gt_projs, gt_pos_cam, K_cam, rf: bool):
 
 def compute_add_batch(
     detected: np.ndarray,
-    gt_projs: np.ndarray,
     gt_pos_cam: np.ndarray,
     camera_K: np.ndarray,
     rf: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(F, K, 2), (F, K, 2), (F, K, 3) -> (adds (F,), successes (F,))."""
-    f = jax.jit(jax.vmap(_frame_add, in_axes=(0, 0, 0, None, None)),
-                static_argnums=(4,))
+    """(F, M, 2), (F, M, 3) -> (adds (F,), successes (F,)). Rows may be
+    stacked multiframe windows (M = multiframe * K)."""
+    f = jax.jit(jax.vmap(_frame_add, in_axes=(0, 0, None, None)),
+                static_argnums=(3,))
     adds, succ = f(
         jnp.asarray(detected, jnp.float32),
-        jnp.asarray(gt_projs, jnp.float32),
         jnp.asarray(gt_pos_cam, jnp.float32),
         jnp.asarray(camera_K, jnp.float32),
         rf,

@@ -50,6 +50,7 @@ def test_train_then_infer(tmp_path):
             "--ckpt", ckpt,
             "--output_dir", res_dir,
             "--rf",
+            "--multi_frame", "2",
         ]
         + COMMON
     )
@@ -57,6 +58,12 @@ def test_train_then_infer(tmp_path):
     pm = results["pnp_metrics"]
     assert km["num_gt_inframe"] > 0
     assert pm["num_pnp_possible"] > 0
+    # the --multi_frame flag produces real numbers + artifacts (both the
+    # sliding-window and random-combination estimators)
+    assert results["multiframe_pnp_metrics"]["num_pnp_possible"] > 0
+    assert results["multiframe_pnp_real_metrics"]["num_pnp_possible"] > 0
+    assert os.path.exists(os.path.join(res_dir, "syn_2_pnp_results.csv"))
+    assert os.path.exists(os.path.join(res_dir, "syn_2_real_pnp_results.csv"))
     # artifacts written
     for f in ["syn_keypoints.csv", "syn_pnp_results.csv", "syn_analysis_results.txt", "dt_and_gt.json"]:
         assert os.path.exists(os.path.join(res_dir, f)), f

@@ -54,6 +54,85 @@ def test_keypoint_metrics_syn_gap():
     assert m["num_gt_inframe"] == 1
 
 
+def _noisy_scene(rng, n_frames, noise_px=3.0, drop_every=None):
+    """Fixed camera pose; per-frame noisy detections of the skeleton."""
+    from sgtapose_tpu.core import geometry as geo
+
+    K = np.asarray(synthetic.camera_K())
+    q = rng.randn(4); q /= np.linalg.norm(q)
+    R = np.asarray(geo.quat_to_matrix(jnp.asarray(np.float32(q))))
+    t = np.array([0.05, -0.02, 1.6], np.float32)
+    pos_cam = (np.asarray(synthetic.SKELETON) @ R.T + t).astype(np.float32)
+    proj = pos_cam @ K.T
+    proj = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
+    det = np.stack([
+        proj + rng.randn(*proj.shape).astype(np.float32) * noise_px
+        for _ in range(n_frames)
+    ])
+    if drop_every:
+        for f in range(n_frames):
+            det[f, f % det.shape[1]] = -999.999  # one missing kp per frame
+    gt = np.repeat(proj[None], n_frames, 0)
+    pos = np.repeat(pos_cam[None], n_frames, 0)
+    return det, gt, pos, K
+
+
+def test_multiframe_pnp_sliding(rng, tmp_path):
+    """Stacking frames' pairs reduces ADD vs single-frame (the estimator's
+    point), windows never span videos, artifacts written."""
+    from sgtapose_tpu.eval import analysis
+
+    det, gt, pos, K = _noisy_scene(rng, n_frames=8, noise_px=4.0,
+                                   drop_every=True)
+    single = analysis.analyze_sequence_results(
+        det, gt, pos, K, (640, 360), rf=False
+    )["pnp_metrics"]
+    mf = analysis.solve_multiframe_pnp(
+        det, gt, pos, K, (640, 360), multiframe=4,
+        video_lengths=[4, 4], rf=False,
+        output_dir=str(tmp_path), set_name="t",
+    )
+    # per video of 4 frames, only frame ind 3 qualifies -> 2 solves
+    assert mf["num_pnp_found"] == 2
+    assert mf["add_mean"] < single["add_mean"]
+    import os
+    assert os.path.exists(tmp_path / "t_4_pnp_results.csv")
+
+
+def test_multiframe_pnp_real_combinations(rng, tmp_path):
+    from math import comb
+
+    from sgtapose_tpu.eval import analysis
+
+    det, gt, pos, K = _noisy_scene(rng, n_frames=6, noise_px=4.0)
+    mf = analysis.solve_multiframe_pnp_real(
+        det, pos, K, multiframe=2, rf=False, n_samples=2500,
+        output_dir=str(tmp_path), set_name="t",
+    )
+    # comb(6,2)=15 <= 2500 -> exhaustive combinations
+    assert mf["num_pnp_possible"] == comb(6, 2)
+    assert mf["num_pnp_found"] == comb(6, 2)
+    assert 0.0 < mf["add_auc"] <= 1.0
+
+    # > n_samples path: random subsampling caps the solve count
+    det2, _, pos2, _ = _noisy_scene(rng, n_frames=30, noise_px=4.0)
+    mf2 = analysis.solve_multiframe_pnp_real(
+        det2, pos2, K, multiframe=3, rf=False, n_samples=50
+    )
+    assert mf2["num_pnp_possible"] == 50
+
+
+def test_multiframe_pnp_refinement_not_worse(rng):
+    from sgtapose_tpu.eval import analysis
+
+    det, gt, pos, K = _noisy_scene(rng, n_frames=4, noise_px=3.0)
+    plain = analysis.solve_multiframe_pnp(det, gt, pos, K, (640, 360),
+                                          multiframe=2, rf=False)
+    refined = analysis.solve_multiframe_pnp(det, gt, pos, K, (640, 360),
+                                            multiframe=2, rf=True)
+    assert refined["add_mean"] <= plain["add_mean"] + 1e-6
+
+
 def test_pnp_metrics_auc():
     adds = np.array([0.01, 0.02, -999.99, 0.05])
     n_inframe = np.array([7, 7, 7, 7])
@@ -76,13 +155,13 @@ def test_compute_add_perfect_detection(rng):
     proj = x3d_cam @ K.T
     proj = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
     adds, succ = metrics.compute_add_batch(
-        proj[None], proj[None], x3d_cam[None], K, rf=False
+        proj[None], x3d_cam[None], K, rf=False
     )
     assert bool(succ[0])
     assert adds[0] < 5e-3
 
     # with LM refinement, never worse (min guard)
-    adds_rf, _ = metrics.compute_add_batch(proj[None], proj[None], x3d_cam[None], K, rf=True)
+    adds_rf, _ = metrics.compute_add_batch(proj[None], x3d_cam[None], K, rf=True)
     assert adds_rf[0] <= adds[0] + 1e-6
 
 
@@ -95,7 +174,7 @@ def test_compute_add_noisy_refinement_helps(rng):
     proj = x3d_cam @ K.T
     proj = (proj[:, :2] / proj[:, 2:3]).astype(np.float32)
     noisy = proj + rng.randn(*proj.shape).astype(np.float32) * 2.0
-    adds, succ = metrics.compute_add_batch(noisy[None], proj[None], x3d_cam[None], K, rf=True)
+    adds, succ = metrics.compute_add_batch(noisy[None], x3d_cam[None], K, rf=True)
     assert bool(succ[0])
     assert adds[0] < 0.05  # few-cm ADD from 2px noise
 
