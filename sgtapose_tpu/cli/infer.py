@@ -50,7 +50,44 @@ def parse_args(argv=None):
     p.add_argument("--multi_frame", type=int, default=0,
                    help="sliding-window multiframe PnP size (0 = off)")
     p.add_argument("--max_videos", type=int, default=None)
+    p.add_argument("--is_ct", default="true", choices=["true", "false"],
+                   help="false = DREAM-baseline single-frame mode "
+                        "(ref sgta_detector.py:50-52, model.py:31-41)")
+    p.add_argument("--depth", action="store_true",
+                   help="42-joint depth-variant evaluation "
+                        "(ref inference.py:407-522 inference_real_depth)")
     return p.parse_args(argv)
+
+
+def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
+    """Per-video detection runner: the temporal scan detector (is_ct) or the
+    DREAM single-frame detector (--is_ct false, ref sgta_detector.py:50-52).
+    Returns fn(raw uint8 imgs (T,H,W,3), x3d (T,K,3)) -> detections (T,K,2)
+    in raw pixels (blocking)."""
+    if args.is_ct == "false":
+        from sgtapose_tpu.infer.dream_detector import make_dream_detector
+
+        dream_run = make_dream_detector(
+            apply, variables, cfg, (raw_hw[1], raw_hw[0])
+        )
+
+        def run(imgs_np, x3d):
+            return dream_run(imgs_np)[0]
+
+        return run
+
+    scan = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
+
+    def run(imgs_np, x3d):
+        images, _, _ = det_lib.preprocess_frames(jnp.asarray(imgs_np), cfg)
+        video = det_lib.VideoFrames(
+            images=images, x3d=jnp.asarray(x3d, jnp.float32)
+        )
+        res = scan(video)
+        jax.block_until_ready(res.detected_kps)
+        return np.asarray(res.detected_kps)
+
+    return run
 
 
 def list_synthetic_videos(dataset_dir: str) -> Dict[str, List[str]]:
@@ -95,21 +132,17 @@ def run_synthetic(args, cfg: Config, model, variables):
             projs.append(kp["projections"])
             pos_cam.append(kp["positions_wrt_cam"])
             x3d_rob.append(kp["positions_wrt_robot"])
-        imgs = jnp.asarray(np.stack(imgs))
+        imgs_np = np.stack(imgs)
+        imgs = jnp.asarray(imgs_np)
         if raw_hw is None:
             raw_hw = (imgs.shape[1], imgs.shape[2])
-            run = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
-        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
-        video = det_lib.VideoFrames(
-            images=images, x3d=jnp.asarray(np.stack(x3d_rob), jnp.float32)
-        )
+            run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
         t0 = time.perf_counter()
-        res = run(video)
-        jax.block_until_ready(res.detected_kps)
+        det_v = run(imgs_np, np.stack(x3d_rob))
         t_total += time.perf_counter() - t0
         n_frames += len(frames)
 
-        all_det.append(np.asarray(res.detected_kps))
+        all_det.append(det_v)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
         sample_names += [f"{vname}/{f}" for f in frames]
@@ -184,23 +217,18 @@ def run_real(args, cfg: Config, model, variables):
             pos_cam.append(kp["positions_wrt_cam"])
             json_list.append(js_path)
             sample_names.append(f"{vi:03d}/{os.path.basename(js_rel)}")
-        imgs = jnp.asarray(np.stack(imgs))
+        imgs_np = np.stack(imgs)
         if raw_hw is None:
-            raw_hw = (imgs.shape[1], imgs.shape[2])
-            run = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
-        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
-        video = det_lib.VideoFrames(
-            images=images, x3d=jnp.asarray(np.stack(pos_cam), jnp.float32)
-        )
+            raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
+            run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
         t0 = time.perf_counter()
-        res = run(video)
-        jax.block_until_ready(res.detected_kps)
+        det_v = run(imgs_np, np.stack(pos_cam))
         t_total += time.perf_counter() - t0
-        n_frames += imgs.shape[0]
-        all_det.append(np.asarray(res.detected_kps))
+        n_frames += imgs_np.shape[0]
+        all_det.append(det_v)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
-        print(f"video {vi}: {imgs.shape[0]} frames")
+        print(f"video {vi}: {imgs_np.shape[0]} frames")
 
     det = np.concatenate(all_det)
     gt = np.concatenate(all_gt)
@@ -227,26 +255,85 @@ def run_real(args, cfg: Config, model, variables):
     return results
 
 
+def run_depth(args, cfg: Config, model, variables):
+    """42-joint depth-variant evaluation (ref inference.py:407-522
+    inference_real_depth): one flat directory of NNNN.png + NNNN.json frames,
+    keypoints loaded via the joints_3n_fixed_42 format, detection as usual,
+    then the same metric harness with 42 classes (ref
+    analyze_ndds_center_dream_ours_42_dataset, analysis.py:1073-1548)."""
+    import glob
+
+    set_dir = (
+        os.path.join(args.dataset, args.is_real) if args.is_real else args.dataset
+    )
+    pngs = sorted(glob.glob(os.path.join(set_dir, "*.png")))
+    jsons = [p[: -len("png")] + "json" for p in pngs]
+    camera_K = np.asarray(SYNTHETIC_CAMERA_K)
+    object_name = args.object_name or "Franka_Emika_Panda"
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    imgs, projs, pos_cam = [], [], []
+    for img_path, js_path in zip(pngs, jsons):
+        imgs.append(loaders.load_image(img_path))
+        kp = loaders.load_depth_keypoints(js_path, object_name, camera_K)
+        projs.append(kp["projections"])
+        pos_cam.append(kp["positions_wrt_cam"])
+    imgs_np = np.stack(imgs)
+    raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
+    run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
+    t0 = time.perf_counter()
+    det = run(imgs_np, np.stack(pos_cam).astype(np.float32))
+    t_total = time.perf_counter() - t0
+    print(f"depth inference: {len(pngs)} frames in {t_total:.2f}s")
+
+    set_name = (args.is_real or "depth") + "_42"
+    sample_names = [os.path.basename(p) for p in pngs]
+    os.makedirs(args.output_dir, exist_ok=True)
+    np_gt = np.stack(projs).astype(np.float32)
+    np_pos = np.stack(pos_cam).astype(np.float32)
+    with open(os.path.join(args.output_dir, f"dt_and_json_{set_name}.json"), "w") as f:
+        json.dump({"dt": det.tolist(), "json": jsons}, f, indent=1)
+    results = analyze_sequence_results(
+        det, np_gt, np_pos, camera_K, (raw_hw[1], raw_hw[0]),
+        args.output_dir, set_name=set_name, sample_names=sample_names,
+        rf=args.rf, syn=False,
+    )
+    results["_multiframe_inputs"] = dict(
+        det=det, gt=np_gt, pos=np_pos, camera_K=camera_K,
+        image_resolution=(raw_hw[1], raw_hw[0]),
+        video_lengths=[len(pngs)], set_name=set_name,
+    )
+    return results
+
+
 def main(argv=None):
     args = parse_args(argv)
+    num_classes = 42 if args.depth else len(KEYPOINT_NAMES[args.robot])
     cfg = Config(
         model=ModelConfig(
             arch=args.arch,
             input_res=(args.input_res, args.input_res),
-            num_classes=len(KEYPOINT_NAMES[args.robot]),
+            num_classes=num_classes,
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
         ),
         robot=args.robot,
     )
     model = create_model(cfg.model)
-    state = trainer.create_train_state(cfg, jax.random.PRNGKey(0), max_iters=1)
+    phase = "Dream" if args.is_ct == "false" else "PlanA_win"
+    state = trainer.create_train_state_for_phase(
+        cfg, jax.random.PRNGKey(0), phase, max_iters=1
+    )
     if args.ckpt:
         state = trainer.load_checkpoint(os.path.abspath(args.ckpt), state)
         print(f"loaded {args.ckpt}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    if args.is_real:
+    if args.depth:
+        results = run_depth(args, cfg, model, variables)
+    elif args.is_real:
         results = run_real(args, cfg, model, variables)
     else:
         results = run_synthetic(args, cfg, model, variables)

@@ -260,3 +260,73 @@ def write_real_dataset(
 
     with open(os.path.join(info_dir, f"{set_name}_split_info.json"), "w") as f:
         json.dump({"img_paths": img_paths, "json_paths": json_paths}, f)
+
+
+def skeleton_42() -> jnp.ndarray:
+    """42-joint depth-variant skeleton: the 7-keypoint chain densified by
+    linear interpolation (6 segments x 7 points), mirroring the reference's
+    `joints_3n_fixed_42` joint cloud density (ref utilities.py:731-776)."""
+    pts = []
+    for i in range(6):
+        a, b = SKELETON[i], SKELETON[i + 1]
+        for s in range(7):
+            pts.append(a + (b - a) * (s / 7.0))
+    return jnp.stack(pts)  # (42, 3)
+
+
+def write_depth_dataset(
+    out_dir: str,
+    set_name: str = "panda-depth",
+    n_frames: int = 4,
+    seed: int = 0,
+    robot_name: str = "Franka_Emika_Panda",
+):
+    """Write the 42-joint depth-variant format (flat {set}/NNNN.png + .json,
+    ref inference.py:407-423 globbing): each json carries keypoints[0] with
+    `R2C_mat` + `location_wrt_cam` (the camera->robot anchor) and
+    `joints_3n_fixed_42` camera-frame positions — the structure
+    ref utilities.py:731-776 load_depth_keypoints parses."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    joints = skeleton_42()
+    set_dir = os.path.join(out_dir, set_name)
+    os.makedirs(set_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(seed)
+    q0, t0 = random_pose(rng)
+    dq = jax.random.normal(jax.random.fold_in(rng, 1), (4,)) * 0.01
+    dt = jax.random.normal(jax.random.fold_in(rng, 2), (3,)) * 0.01
+    for f in range(n_frames):
+        q = q0 + dq * f
+        q = q / jnp.linalg.norm(q)
+        t = t0 + dt * f
+        R = geometry.quat_to_matrix(q)
+        pos_cam = np.asarray(geometry.transform_points(joints, R, t))
+        projs = np.asarray(
+            geometry.project_points(joints, R, t, jnp.asarray(K, jnp.float32))
+        )
+        img = np.asarray(render_frame(jnp.asarray(projs))).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(set_dir, f"{f:04d}.png"))
+        anchor_cam = np.asarray(geometry.transform_points(SKELETON[:1], R, t))[0]
+        meta = [
+            {
+                "ROBOT NAME": robot_name,
+                "keypoints": [
+                    {
+                        "Name": "Link0",
+                        "R2C_mat": np.asarray(R).tolist(),
+                        "location_wrt_cam": anchor_cam.tolist(),
+                    }
+                ],
+                "joints_3n_fixed_42": [
+                    {"location_wrt_cam": pos_cam[i].tolist()}
+                    for i in range(pos_cam.shape[0])
+                ],
+            }
+        ]
+        with open(os.path.join(set_dir, f"{f:04d}.json"), "w") as fp:
+            json.dump(meta, fp)

@@ -132,3 +132,61 @@ def test_infer_real_mode(tmp_path):
     assert results["keypoint_metrics"]["num_gt_inframe"] > 0
     assert os.path.exists(os.path.join(res_dir, "dt_and_json_panda-test.json"))
     assert os.path.exists(os.path.join(res_dir, "panda-test_pnp_results.csv"))
+
+
+@pytest.mark.slow
+def test_infer_dream_mode(tmp_path):
+    """--is_ct false: the DREAM-baseline single-frame path is reachable from
+    the CLI (ref sgta_detector.py:50-52, model.py:31-41)."""
+    data_dir = str(tmp_path / "syn")
+    res_dir = str(tmp_path / "dream_results")
+    write_synthetic_dataset(data_dir, n_videos=1, n_frames=2, seed=0)
+
+    from sgtapose_tpu.cli import infer as infer_cli
+
+    results = infer_cli.main(
+        [
+            "--dataset", data_dir,
+            "--output_dir", res_dir,
+            "--is_ct", "false",
+            "--arch", "dreamhourglass",
+            "--robot", "panda_synthetic",
+            "--input_res", "64",
+        ]
+    )
+    assert results["keypoint_metrics"]["num_gt_inframe"] > 0
+    assert os.path.exists(os.path.join(res_dir, "syn_analysis_results.txt"))
+
+
+@pytest.mark.slow
+def test_infer_depth_mode(tmp_path):
+    """--depth: the 42-joint depth-variant path end-to-end
+    (ref inference.py:407-522 + the ours_42 analysis)."""
+    from sgtapose_tpu.data.synthetic import write_depth_dataset
+
+    data_dir = str(tmp_path / "depth")
+    res_dir = str(tmp_path / "depth_results")
+    write_depth_dataset(data_dir, set_name="panda-depth", n_frames=3)
+
+    from sgtapose_tpu.cli import infer as infer_cli
+
+    results = infer_cli.main(
+        [
+            "--dataset", data_dir,
+            "--is_real", "panda-depth",
+            "--depth",
+            "--output_dir", res_dir,
+            "--input_res", "64",
+            "--dla_node", "conv",
+            "--kernel_list", "3,3,3,1,1,1",
+        ]
+    )
+    # 3 frames x 42 joints of GT
+    assert results["keypoint_metrics"]["num_gt_inframe"] + \
+        results["keypoint_metrics"]["num_gt_outframe"] == 3 * 42
+    assert os.path.exists(
+        os.path.join(res_dir, "panda-depth_42_pnp_results.csv")
+    )
+    assert os.path.exists(
+        os.path.join(res_dir, "dt_and_json_panda-depth_42.json")
+    )
