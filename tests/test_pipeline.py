@@ -111,6 +111,48 @@ def test_parallel_train_step_8dev(raw_batch):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
+def test_parallel_step_matches_single_device():
+    """The 8-device data-parallel step computes the SAME update as a
+    1-device step on the same global batch (XLA SPMD all-reduce == local
+    reduction, up to f32 reduction-order noise) — with the shipping ops:
+    DCN decoder nodes + flagship attention windows."""
+    from sgtapose_tpu.parallel import mesh as mesh_lib
+
+    cfg = Config(
+        model=ModelConfig(
+            input_res=(64, 64),
+            kernel_list=(12, 6, 3, 1, 1, 1),
+            dla_node="dcn",
+        ),
+        train=TrainConfig(batch_size_per_device=1),
+    )
+    fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
+    raw = synthetic.make_raw_batch(jax.random.PRNGKey(5), 8)
+    batch = fn(jax.random.PRNGKey(1), raw)
+
+    def one_step(n_dev):
+        mesh = mesh_lib.make_mesh(n_dev)
+        state = trainer.create_train_state(cfg, jax.random.PRNGKey(0), max_iters=100)
+        sharded = mesh_lib.shard_batch(batch, mesh)
+        pstep = trainer.make_parallel_train_step(mesh)
+        new_state, stats = pstep(state, sharded, jax.random.PRNGKey(2))
+        return new_state, stats
+
+    s8, st8 = one_step(8)
+    s1, st1 = one_step(1)
+    assert np.isfinite(float(st8["tot"]))
+    np.testing.assert_allclose(float(st8["tot"]), float(st1["tot"]), rtol=2e-4)
+    # updated params agree leaf-by-leaf
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(l8, l1)
+    )
+    assert worst < 5e-4, f"max param divergence {worst}"
+
+
 def test_three_frame_pipeline(raw_batch):
     """Three-frame batch construction (ppre/pre/next)."""
     from sgtapose_tpu.data.pipeline import RawSampleThree, make_batch_fn_three
