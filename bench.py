@@ -13,9 +13,11 @@ frames runs in ONE device call and is fetched ONCE, which also amortizes the
 ~30 ms tunnel round-trip exactly like a production streaming deployment
 would (device-resident recurrence, periodic result readback).
 
-`vs_baseline` is measured fps / 30 fps — 30 fps is the camera rate the
-reference streams at (the reference publishes no throughput numbers;
-BASELINE.md protocol).
+`vs_baseline` is measured fps / the REFERENCE implementation's measured fps
+in this environment: 0.306 fps at 480p via the full SGTADetector.run per-frame
+path (scripts/bench_reference.py, torch CPU — this container exposes one CPU
+core and no CUDA; BASELINE.md records the protocol and caveats). The camera
+rate (30 fps) is also reported for context.
 """
 
 import json
@@ -80,13 +82,15 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     fps = T / dt
+    REFERENCE_CPU_FPS = 0.306  # scripts/bench_reference.py, this container
     print(
         json.dumps(
             {
                 "metric": "fps_480p_seq_inference_single_chip",
                 "value": round(fps, 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / 30.0, 3),
+                "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
+                "vs_camera_rate_30fps": round(fps / 30.0, 3),
             }
         )
     )

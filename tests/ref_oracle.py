@@ -50,13 +50,17 @@ def ensure_ref_importable():
         # but peaks_from_belief_maps (the only function we call) never uses
         # it. Empty-module stubs let the real file load.
         tv = types.ModuleType("torchvision")
+        tv.__path__ = []  # mark as package so submodule imports resolve
         tv_t = types.ModuleType("torchvision.transforms")
         tv_f = types.ModuleType("torchvision.transforms.functional")
+        tv_m = types.ModuleType("torchvision.models")
         tv.transforms = tv_t
+        tv.models = tv_m
         tv_t.functional = tv_f
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv_t
         sys.modules["torchvision.transforms.functional"] = tv_f
+        sys.modules["torchvision.models"] = tv_m
     if "sgtapose" not in sys.modules or not hasattr(
         sys.modules["sgtapose"], "image_proc"
     ):
@@ -145,3 +149,145 @@ def make_ref_opt(**overrides):
 
 HEADS = {"hm": 7, "reg": 2, "wh": 2, "tracking": 2}
 HEAD_CONVS = {k: [256] for k in HEADS}
+
+
+# -----------------------------------------------------------------------------
+# Full reference-detector import (for honest baseline timing + parity):
+# shims for the deps absent in this image. All shims are inert stand-ins for
+# modules whose symbols the detector run path never touches (pyrr/transforms3d
+# are only used by get_pnp_keypoints/transform helpers, not by
+# is_pnp/solve_pnp), except ruamel.yaml which we back with a JSON loader (the
+# reference data files are valid JSON).
+# -----------------------------------------------------------------------------
+
+
+class _JsonYAML:
+    """Stand-in for ruamel.yaml.YAML(typ='safe') covering the reference's
+    usage (load of JSON-formatted meta files, rf_tools/LM.py-style)."""
+
+    def __init__(self, typ="safe"):
+        self.typ = typ
+
+    def load(self, stream):
+        import json as _json
+
+        data = stream.read() if hasattr(stream, "read") else stream
+        return _json.loads(data)
+
+
+def _stub_module(name: str, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def ensure_ref_detector_importable():
+    """Make `from lib.sgta_detector import SGTADetector` work against the
+    reference tree with the real utilities/geometric_vision/image_proc as
+    the `sgtapose` package."""
+    ensure_ref_importable()
+
+    _stub_module("ruamel")
+    _stub_module("ruamel.yaml", YAML=_JsonYAML)
+    sys.modules["ruamel"].yaml = sys.modules["ruamel.yaml"]
+
+    class _Quat:  # pyrr.Quaternion stand-in (unused on the run path)
+        @staticmethod
+        def from_axis_rotation(*a, **k):
+            raise NotImplementedError("pyrr stub")
+
+    _stub_module("pyrr", Quaternion=_Quat)
+    tfs = _stub_module("transforms3d")
+    tfs.quaternions = _stub_module("transforms3d.quaternions")
+
+    class _Bar:  # progress.bar.Bar stand-in
+        def __init__(self, *a, **k):
+            self.suffix = ""
+
+        def next(self):
+            pass
+
+        def finish(self):
+            pass
+
+    _stub_module("progress")
+    _stub_module("progress.bar", Bar=_Bar)
+
+    fake = sys.modules["sgtapose"]
+    if not hasattr(fake, "utilities"):
+        fake.utilities = _load_standalone(
+            "_ref_utilities", os.path.join(REF_ROOT, "utilities.py")
+        )
+    if not hasattr(fake, "geometric_vision"):
+        fake.geometric_vision = _load_standalone(
+            "_ref_geometric_vision", os.path.join(REF_ROOT, "geometric_vision.py")
+        )
+    from lib.sgta_detector import SGTADetector  # noqa: E402
+
+    return SGTADetector
+
+
+def make_detector_opt(input_res=480, **overrides):
+    """opt namespace covering every field the reference detector + tracker
+    touch on the synthetic run path (defaults per lib/opts_parallel.py)."""
+    import torch as _torch
+
+    base = make_ref_opt()
+    d = dict(
+        vars(base),
+        gpus=[-1],
+        device=_torch.device("cpu"),
+        arch="dlapawdl3new_34",
+        heads=HEADS,
+        head_conv={k: [256] for k in HEADS},
+        num_classes=7,
+        test_focal_length=-1,
+        no_pause=True,
+        phase="PlanA_win",
+        infer_dataset="",
+        save_dir="/tmp/ref_bench_out",
+        robot="panda_synthetic",
+        is_real_ros=False,
+        fix_res=True,
+        fix_short=-1,
+        flip_test=False,
+        input_h=input_res,
+        input_w=input_res,
+        down_ratio=4,
+        pad=31,
+        test_scales=[1.0],
+        pre_hm=True,
+        zero_pre_hm=False,
+        hm_disturb=0.0,
+        lost_disturb=0.0,
+        out_thresh=0.1,
+        pre_thresh=0.1,
+        vis_thresh=0.3,
+        new_thresh=0.3,
+        max_age=-1,
+        hungarian=False,
+        public_det=False,
+        tracking=True,
+        debug=0,
+        debug_dir="/tmp/ref_bench_out",
+        demo="",
+        depth_scale=1.0,
+        dream_mode="vgg",
+        dream_deconv_decoder=False,
+        is_ct=True,
+        non_block_test=False,
+        qualitative=False,
+        save_video=False,
+        show_track_color=False,
+        reset_hm=False,
+        reuse_hm=False,
+        zero_tracking=False,
+        ltrb=False,
+        ltrb_amodal=False,
+    )
+    d.update(overrides)
+    return types.SimpleNamespace(**d)
