@@ -57,6 +57,8 @@ def parse_args(argv=None):
     p.add_argument("--kernel_list", default="12,6,3,1,1,1",
                    help="per-level attention window sizes (ref ks1..ks6)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="loader IO threads (ref train.py:251 workers)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 model compute with f32 master params")
     p.add_argument("--phase", default="PlanA_win",
@@ -110,13 +112,14 @@ def main(argv=None):
     loader = SeqBatchLoader(
         pairs, cfg, camera_K, object_name,
         KEYPOINT_NAMES[args.robot], global_batch, seed=args.seed,
+        num_workers=args.num_workers,
     )
     val_loader = None
     if args.val_dataset:
         val_pairs = find_ndds_seq_data_in_dir(args.val_dataset)
         val_loader = SeqBatchLoader(
             val_pairs, cfg, camera_K, object_name, KEYPOINT_NAMES[args.robot],
-            global_batch, shuffle=False,
+            global_batch, shuffle=False, num_workers=args.num_workers,
         )
 
     iters_per_epoch = len(loader)

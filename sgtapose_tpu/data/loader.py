@@ -79,6 +79,10 @@ class SeqBatchLoader:
         return RawSample(*(np.stack([getattr(s, f) for s in samples]) for f in RawSample._fields))
 
     def epoch(self, epoch_idx: int) -> Iterator[RawSample]:
+        """Yield collated batches in deterministic order. Sample loading
+        (PNG decode + JSON parse) fans out over a `num_workers` thread pool
+        while a coordinator keeps a 2-batch prefetch window in flight; the
+        consumer sees identical batches regardless of num_workers."""
         order = np.arange(len(self.pairs))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_idx).shuffle(order)
@@ -92,17 +96,42 @@ class SeqBatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()
 
-        def worker():
+        def coordinator():
             try:
-                for idxs in batch_indices:
-                    if stop.is_set():
-                        return
-                    samples = [self._load_one(self.pairs[i]) for i in idxs]
-                    q.put(self._collate(samples))
+                if self.num_workers <= 1:
+                    for idxs in batch_indices:
+                        if stop.is_set():
+                            return
+                        q.put(self._collate(
+                            [self._load_one(self.pairs[i]) for i in idxs]
+                        ))
+                    return
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                in_flight = 2  # batches of sample futures beyond the queue
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    pending: deque = deque()
+                    for idxs in batch_indices:
+                        if stop.is_set():
+                            return
+                        pending.append(
+                            [ex.submit(self._load_one, self.pairs[i]) for i in idxs]
+                        )
+                        if len(pending) > in_flight:
+                            q.put(self._collate(
+                                [f.result() for f in pending.popleft()]
+                            ))
+                    while pending:
+                        if stop.is_set():
+                            return
+                        q.put(self._collate(
+                            [f.result() for f in pending.popleft()]
+                        ))
             finally:
                 q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=coordinator, daemon=True)
         t.start()
         try:
             while True:
