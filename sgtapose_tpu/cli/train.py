@@ -65,6 +65,9 @@ def parse_args(argv=None):
                    help="training phase: PlanA_win | CenterTrack | CenterNet | Dream")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--image_log_every", type=int, default=250,
+                   help="training mosaic (input | GT hm | pred hm) interval "
+                        "(ref trainer_parallel.py:307-400); 0 disables")
     return p.parse_args(argv)
 
 
@@ -141,7 +144,23 @@ def main(argv=None):
         tracking_weight=cfg.train.tracking_weight,
     )
     eval_fn = jax.jit(functools.partial(trainer.eval_step, phase=args.phase))
+    predict_fn = jax.jit(functools.partial(trainer.predict_step, phase=args.phase))
     drop_rng = jax.random.PRNGKey(args.seed + 1)
+
+    def log_mosaic(batch, step):
+        """Input | GT heatmap | predicted heatmap side-by-side
+        (ref trainer_parallel.py:307-400 image logging)."""
+        from sgtapose_tpu.config import IMAGE_MEAN, IMAGE_STD
+        from sgtapose_tpu.utils.visualize import training_debug_mosaic
+
+        one = {k: v[:1] for k, v in batch.items()}
+        pred = predict_fn(state, one)
+        img = np.asarray(one["cur_img"][0])
+        img = (img * np.asarray(IMAGE_STD) + np.asarray(IMAGE_MEAN)) * 255.0
+        mosaic = training_debug_mosaic(
+            img, np.asarray(one["gt_belief_maps"][0]), np.asarray(pred["hm"][0])
+        )
+        logger.log_image(step, "train_mosaic", mosaic)
 
     for epoch in range(1, cfg.train.num_epochs + 1):
         t0 = time.time()
@@ -157,17 +176,47 @@ def main(argv=None):
                     f"epoch {epoch} it {it}/{iters_per_epoch} "
                     + " ".join(f"{k}={v:.5f}" for k, v in s.items())
                 )
+            if args.image_log_every and it % args.image_log_every == 0:
+                log_mosaic(batch, int(state.step))
         # checkpoint per epoch (ref train.py:264-265)
         ckpt = os.path.abspath(os.path.join(args.output_dir, "ckpt", f"epoch_{epoch}"))
         trainer.save_checkpoint(ckpt, state)
         print(f"epoch {epoch} done in {time.time()-t0:.1f}s -> {ckpt}")
 
         if val_loader is not None:
-            vals = []
+            from sgtapose_tpu.decode.peaks import decode_heatmaps_batch
+            from sgtapose_tpu.eval import metrics as metrics_lib
+
+            vals, det_all, gt_all = [], [], []
+            ratio = float(cfg.model.down_ratio)
             for raw in val_loader.epoch(0):
                 batch = batch_fn(jax.random.PRNGKey(0), jax.tree_util.tree_map(np.asarray, raw))
                 vals.append({k: float(v) for k, v in eval_fn(state, batch).items()})
+                # per-epoch keypoint metric suite (ref train.py:44-166
+                # save_results): decode predictions, compare in input-res px
+                pred = predict_fn(state, batch)
+                dec = decode_heatmaps_batch(
+                    pred["hm"], pred["reg"], pred["tracking"]
+                )
+                det_all.append(np.asarray(dec.coords) * ratio)
+                gt = np.asarray(batch["kp_int"], np.float32) + np.asarray(
+                    batch["reg_target"]
+                )
+                gt_all.append(gt * ratio)
             mean = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]} if vals else {}
+            if det_all:
+                H, W = cfg.model.input_res
+                km = metrics_lib.keypoint_metrics(
+                    np.concatenate(det_all).reshape(-1, 2),
+                    np.concatenate(gt_all).reshape(-1, 2),
+                    (W, H),
+                )
+                mean.update({
+                    "kp_found_inframe": km["num_found_gt_inframe"],
+                    "kp_missing_inframe": km["num_missing_gt_inframe"],
+                    "kp_l2_mean_px": km["l2_error_mean_px"] or -1.0,
+                    "kp_pck_auc_12px": km["l2_error_auc"] or 0.0,
+                })
             logger.log(int(state.step), mean, prefix="val")
             print(f"epoch {epoch} val: {mean}")
 

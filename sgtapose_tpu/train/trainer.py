@@ -188,6 +188,18 @@ def eval_step(
     return stats
 
 
+def predict_step(state: TrainState, batch, phase: str = "PlanA_win"):
+    """Inference forward for observability/validation decoding: sigmoided
+    heatmaps + reg/tracking (zeros when the arch has no such head, e.g.
+    Dream baselines)."""
+    out, _ = model_forward(state, state.params, batch, train=False, phase=phase)
+    hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
+    zeros = jnp.zeros(hm.shape[:3] + (2,), jnp.float32)
+    reg = out.get("reg", zeros).astype(jnp.float32)
+    tracking = out.get("tracking", zeros).astype(jnp.float32)
+    return {"hm": hm, "reg": reg, "tracking": tracking}
+
+
 def make_parallel_train_step(mesh, bf16: bool = False, phase: str = "PlanA_win", **loss_weights):
     """jit the train step over the mesh: batch sharded on the data axis,
     state replicated. XLA SPMD inserts the gradient all-reduce (psum over ICI)

@@ -37,6 +37,21 @@ class MetricsLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), int(step))
 
+    def log_image(self, step: int, name: str, pil_image, prefix: str = "train"):
+        """Image observability (ref trainer_parallel.py:307-400 mosaics):
+        TensorBoard when available; always a PNG under viz/ so the artifact
+        exists without TB."""
+        import numpy as np
+
+        viz_dir = os.path.join(os.path.dirname(self.path), "viz")
+        os.makedirs(viz_dir, exist_ok=True)
+        pil_image.save(os.path.join(viz_dir, f"{name}_{int(step):07d}.png"))
+        if self._tb is not None:
+            self._tb.add_image(
+                f"{prefix}/{name}", np.asarray(pil_image), int(step),
+                dataformats="HWC",
+            )
+
     def close(self):
         self._f.close()
         if self._tb is not None:

@@ -41,6 +41,9 @@ def test_train_then_infer(tmp_path):
     ckpt = os.path.join(out_dir, "ckpt", "epoch_1")
     assert os.path.isdir(ckpt)
     assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+    # training mosaics appear (input | GT hm | pred hm; ref trainer mosaic log)
+    viz = os.path.join(out_dir, "viz")
+    assert os.path.isdir(viz) and any(f.endswith(".png") for f in os.listdir(viz))
 
     from sgtapose_tpu.cli import infer as infer_cli
 
@@ -100,10 +103,12 @@ def test_train_non_default_phase_with_validation(tmp_path):
         + COMMON
     )
     assert os.path.isdir(os.path.join(out_dir, "ckpt", "epoch_1"))
-    # val metrics got logged
+    # val metrics got logged, including the per-epoch keypoint suite
+    # (ref train.py:44-166 save_results)
     with open(os.path.join(out_dir, "metrics.jsonl")) as fh:
         lines = [json.loads(l) for l in fh]
-    assert any(l.get("prefix") == "val" for l in lines)
+    val = [l for l in lines if l.get("prefix") == "val"]
+    assert val and "kp_pck_auc_12px" in val[-1] and "kp_found_inframe" in val[-1]
 
 
 @pytest.mark.slow
