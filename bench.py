@@ -20,7 +20,9 @@ core and no CUDA; BASELINE.md records the protocol and caveats). The camera
 rate (30 fps) is also reported for context.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import jax
@@ -29,6 +31,10 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="primary metric only (skip cache/batch/fused extras)")
+    args = ap.parse_args()
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.infer import detector as det_lib
@@ -64,24 +70,68 @@ def main():
     images, _, _ = det_lib.preprocess_frames(video_imgs, cfg)
     video = det_lib.VideoFrames(images=images, x3d=x3d)
 
+    def timed_fps(runner, inp, frames, reps=3):
+        res = runner(inp)  # compile + warm
+        _ = np.asarray(res.detected_kps)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = runner(inp)
+            _ = np.asarray(res.detected_kps)  # true sync (block_until_ready
+            #                                   lies through the tunnel)
+        return frames / ((time.perf_counter() - t0) / reps)
+
     run = det_lib.make_video_detector(
         apply, variables, cfg, synthetic.camera_K(),
         raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
     )
+    fps = timed_fps(run, video, T)
 
-    # compile + warm
-    res = run(video)
-    _ = np.asarray(res.detected_kps)
+    extras = {}
+    if not args.quick:
+        # feature-cache fast path (one trunk pass/frame; infer/detector.py)
+        cached = det_lib.make_cached_video_detector(
+            model, variables, cfg, synthetic.camera_K(),
+            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+        )
+        extras["fps_feature_cache"] = round(timed_fps(cached, video, T, reps=2), 2)
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = run(video)
-        _ = np.asarray(res.detected_kps)  # true sync (block_until_ready lies
-        #                                   through the tunnel)
-    dt = (time.perf_counter() - t0) / reps
+        # batched multi-video (production fill; videos are independent)
+        NV = 8
+        batched_video = det_lib.VideoFrames(
+            images=jnp.broadcast_to(video.images, (NV,) + video.images.shape),
+            x3d=jnp.broadcast_to(video.x3d, (NV,) + video.x3d.shape),
+        )
+        brun = det_lib.make_batched_video_detector(
+            apply, variables, cfg, synthetic.camera_K(),
+            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+        )
+        extras["fps_batched_8videos_aggregate"] = round(
+            timed_fps(brun, batched_video, T * NV, reps=2), 2
+        )
 
-    fps = T / dt
+        # Pallas fused biased attention (ops/attention_kernel.py)
+        import dataclasses
+
+        fcfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fused_attention=True)
+        )
+        fmodel = create_model(fcfg.model)
+
+        def fapply(variables, *inputs):
+            inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
+            out = fmodel.apply(variables, *inputs, train=False)
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+        try:
+            frun = det_lib.make_video_detector(
+                fapply, variables, fcfg, synthetic.camera_K(),
+                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+            )
+            extras["fps_fused_attention"] = round(timed_fps(frun, video, T, reps=2), 2)
+        except Exception as e:  # kernel may not lower on every backend
+            extras["fps_fused_attention"] = None
+            print(f"fused-attention bench failed: {e}", file=sys.stderr)
+
     REFERENCE_CPU_FPS = 0.306  # scripts/bench_reference.py, this container
     print(
         json.dumps(
@@ -91,6 +141,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
                 "vs_camera_rate_30fps": round(fps / 30.0, 3),
+                **extras,
             }
         )
     )

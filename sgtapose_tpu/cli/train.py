@@ -27,7 +27,10 @@ from sgtapose_tpu.config import (
     ModelConfig,
     TrainConfig,
 )
-from sgtapose_tpu.data.discovery import find_ndds_seq_data_in_dir
+from sgtapose_tpu.data.discovery import (
+    find_depth_seq_data_in_dir,
+    find_ndds_seq_data_in_dir,
+)
 from sgtapose_tpu.data.loader import SeqBatchLoader
 from sgtapose_tpu.data.pipeline import make_batch_fn
 from sgtapose_tpu.parallel import mesh as mesh_lib
@@ -59,6 +62,9 @@ def parse_args(argv=None):
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4,
                    help="loader IO threads (ref train.py:251 workers)")
+    p.add_argument("--depth", action="store_true",
+                   help="42-joint depth-variant training (flat png+json dir, "
+                        "ref CenterTrackSeqDepthDataset datasets.py:445-635)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 model compute with f32 master params")
     p.add_argument("--phase", default="PlanA_win",
@@ -76,7 +82,7 @@ def build_config(args) -> Config:
         model=ModelConfig(
             arch=args.arch,
             input_res=(args.input_res, args.input_res),
-            num_classes=len(KEYPOINT_NAMES[args.robot]),
+            num_classes=42 if args.depth else len(KEYPOINT_NAMES[args.robot]),
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
         ),
@@ -105,24 +111,29 @@ def main(argv=None):
     print(f"devices={n_dev} global_batch={global_batch}")
 
     # dataset discovery (+ optional concat, ref train.py:193-202)
-    pairs = find_ndds_seq_data_in_dir(args.dataset)
+    discover = find_depth_seq_data_in_dir if args.depth else find_ndds_seq_data_in_dir
+    pairs = discover(args.dataset)
     if args.add_dataset:
-        pairs = pairs + find_ndds_seq_data_in_dir(args.add_dataset)
+        pairs = pairs + discover(args.add_dataset)
     print(f"train pairs: {len(pairs)}")
 
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     object_name = args.object_name or args.robot
+    kp_names = [] if args.depth else KEYPOINT_NAMES[args.robot]
+    if args.depth:
+        object_name = args.object_name or "Franka_Emika_Panda"
     loader = SeqBatchLoader(
         pairs, cfg, camera_K, object_name,
-        KEYPOINT_NAMES[args.robot], global_batch, seed=args.seed,
-        num_workers=args.num_workers,
+        kp_names, global_batch, seed=args.seed,
+        num_workers=args.num_workers, depth=args.depth,
     )
     val_loader = None
     if args.val_dataset:
-        val_pairs = find_ndds_seq_data_in_dir(args.val_dataset)
+        val_pairs = discover(args.val_dataset)
         val_loader = SeqBatchLoader(
-            val_pairs, cfg, camera_K, object_name, KEYPOINT_NAMES[args.robot],
+            val_pairs, cfg, camera_K, object_name, kp_names,
             global_batch, shuffle=False, num_workers=args.num_workers,
+            depth=args.depth,
         )
 
     iters_per_epoch = len(loader)

@@ -95,3 +95,30 @@ def remap_seq_frame(pair: FramePair, seq_frame: int) -> FramePair:
             next_data_path=pair.prev_data_path,
         )
     return pair
+
+
+def find_depth_seq_data_in_dir(input_dir: str) -> List[FramePair]:
+    """42-joint depth-variant discovery: ONE flat directory of NNNN.png +
+    NNNN.json frames (ref inference.py:407-423 globbing; the depth training
+    dataset CenterTrackSeqDepthDataset, ref datasets.py:445-635, consumes the
+    same flat frame stream as consecutive pairs)."""
+    input_dir = os.path.expanduser(input_dir)
+    if not os.path.exists(input_dir):
+        raise FileNotFoundError(input_dir)
+    pngs = sorted(f for f in os.listdir(input_dir) if f.endswith(".png"))
+    pairs: List[FramePair] = []
+    for a, b in zip(pngs[:-1], pngs[1:]):
+        a_js = a[: -len("png")] + "json"
+        b_js = b[: -len("png")] + "json"
+        if not (os.path.exists(os.path.join(input_dir, a_js))
+                and os.path.exists(os.path.join(input_dir, b_js))):
+            continue
+        pairs.append(
+            FramePair(
+                a[: -len(".png")], os.path.join(input_dir, a),
+                os.path.join(input_dir, a_js),
+                b[: -len(".png")], os.path.join(input_dir, b),
+                os.path.join(input_dir, b_js),
+            )
+        )
+    return pairs

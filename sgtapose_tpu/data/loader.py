@@ -41,6 +41,7 @@ class SeqBatchLoader:
         shuffle: bool = True,
         num_workers: int = 4,
         drop_last: bool = True,
+        depth: bool = False,
     ):
         self.pairs = list(pairs)
         self.cfg = cfg
@@ -52,6 +53,10 @@ class SeqBatchLoader:
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
+        # 42-joint depth-variant format (ref CenterTrackSeqDepthDataset,
+        # datasets.py:445-635): joints_3n_fixed_42 loader, no seq_frame remap
+        # (flat frame stream, no per-video NNNN_color naming)
+        self.depth = depth
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -59,6 +64,23 @@ class SeqBatchLoader:
         return (len(self.pairs) + self.batch_size - 1) // self.batch_size
 
     def _load_one(self, pair: FramePair) -> RawSample:
+        if self.depth:
+            from sgtapose_tpu.data.loaders import load_depth_keypoints
+
+            prev_kp = load_depth_keypoints(
+                pair.prev_data_path, self.robot_name, self.camera_K
+            )
+            next_kp = load_depth_keypoints(
+                pair.next_data_path, self.robot_name, self.camera_K
+            )
+            return RawSample(
+                prev_img=load_image(pair.prev_img_path),
+                next_img=load_image(pair.next_img_path),
+                prev_projs=prev_kp["projections"].astype(np.float32),
+                next_projs=next_kp["projections"].astype(np.float32),
+                prev_x3d_rob=prev_kp["positions_wrt_robot"].astype(np.float32),
+                next_x3d_rob=next_kp["positions_wrt_robot"].astype(np.float32),
+            )
         pair = remap_seq_frame(pair, self.cfg.train.seq_frame)
         prev_kp = load_seq_keypoints(
             pair.prev_data_path, self.robot_name, self.keypoint_names, self.camera_K

@@ -60,11 +60,117 @@ class SGTAPose(nn.Module):
       repro_hm_cls(B, H/4, W/4, C) per-class reprojection prior
     Returns {"hm": (B, H/4, W/4, C), "reg": (B, H/4, W/4, 2),
              "tracking": (B, H/4, W/4, 2)} raw logits (hm pre-sigmoid).
+
+    setup()-style so `trunk` and `fuse` are separately applicable
+    (model.apply(..., method=SGTAPose.trunk)) — the streaming detector's
+    feature-cache fast path reuses frame t-1's current-pass trunk features
+    as frame t's previous-pass features, halving Siamese FLOPs
+    (docs/PERF.md; infer/detector.py make_cached_video_detector).
     """
 
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        channels = (16, 32, 64, 128, 256, 512)
+        self._channels = channels
+        self.pre_img_stem = Stem(channels[0])
+        self.pre_hm_stem = Stem(channels[0])
+        self.base = DLA34Backbone(channels)
+        for i in range(3):
+            K = cfg.k_list[i]
+            kernel = cfg.kernel_list[i]
+            n_tokens = cfg.num_classes * K * (1 + 2 * (kernel // 2)) ** 2
+            setattr(
+                self,
+                f"transformer_{i}",
+                attn_lib.TransformerEncoder(
+                    d_inp=16 * (2 ** i),
+                    d_model=4 * (2 ** i),
+                    n_tokens=n_tokens,
+                    num_layers=cfg.num_decoder_layers,
+                    n_heads=cfg.n_heads,
+                    pos_embed=cfg.pos_embed,
+                    use_fused=cfg.fused_attention,
+                    fused_interpret=cfg.fused_attention_interpret,
+                ),
+            )
+        for i in range(6):
+            setattr(self, f"cat_layer_{i}", attn_lib.CatLayer(channels[i]))
+
+        first_level, last_level = 2, 5
+        dla_channels = channels[first_level:]
+        scales = tuple(2 ** i for i in range(len(dla_channels)))
+        self.dla_up = DLAUp(first_level, dla_channels, scales, cfg.dla_node)
+        self.ida_up = IDAUp(
+            dla_channels[0],
+            tuple(dla_channels[: last_level - first_level]),
+            tuple(2 ** i for i in range(last_level - first_level)),
+            cfg.dla_node,
+        )
+        self.hm = HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias)
+        self.reg = HeadConv(2, cfg.head_conv)
+        self.tracking = HeadConv(2, cfg.head_conv)
+
+    def trunk(self, imgs, hms, train: bool = False) -> List[jnp.ndarray]:
+        """One backbone pass: img stem + prior-hm stem summed, 6 levels out
+        (ref dla.py:314-337 base forward fusion)."""
+        stem_out = self.pre_img_stem(imgs, train) + self.pre_hm_stem(hms, train)
+        return self.base(stem_out, train)
+
+    def fuse(
+        self,
+        pre_feats: List[jnp.ndarray],
+        cur_feats: List[jnp.ndarray],
+        pre_hm_cls: jnp.ndarray,
+        repro_hm_cls: jnp.ndarray,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Temporal fusion + decode + heads over precomputed trunk features."""
+        cfg = self.cfg
+        channels = self._channels
+
+        fused: List[jnp.ndarray] = []
+        for i in range(6):
+            K = cfg.k_list[i]
+            kernel = cfg.kernel_list[i]
+            scale = cfg.scale_list[i]
+            Hf, Wf = pre_feats[i].shape[1], pre_feats[i].shape[2]
+
+            pre_xy = attn_lib.topk_class_indices(pre_hm_cls, K)
+            cur_xy = attn_lib.topk_class_indices(repro_hm_cls, K)
+            pre_ids = attn_lib.window_feat_ids(pre_xy, scale, kernel, Hf, Wf)
+            cur_ids = attn_lib.window_feat_ids(cur_xy, scale, kernel, Hf, Wf)
+            pre_key = attn_lib.gather_window_features(pre_feats[i], pre_ids)
+            cur_query = attn_lib.gather_window_features(cur_feats[i], cur_ids)
+
+            if i < 3:
+                out = getattr(self, f"transformer_{i}")(
+                    cur_query, pre_key, pre_key, train
+                )
+            else:
+                out = pre_key
+
+            merged = getattr(self, f"cat_layer_{i}")(
+                jnp.concatenate([out, cur_query], axis=-1)
+            )
+            fused.append(
+                attn_lib.scatter_window_features(cur_feats[i], cur_ids, merged)
+            )
+
+        first_level, last_level = 2, 5
+        outs = self.dla_up(fused[first_level:], train)
+        y = [outs[i] for i in range(last_level - first_level)]
+        y = self.ida_up(y, 0, len(y), train)
+        feat = y[-1]  # (B, H/4, W/4, 64)
+
+        # wh omitted, ref base_model.py:114-115
+        return {
+            "hm": self.hm(feat),
+            "reg": self.reg(feat),
+            "tracking": self.tracking(feat),
+        }
+
     def __call__(
         self,
         cur_img: jnp.ndarray,
@@ -75,83 +181,15 @@ class SGTAPose(nn.Module):
         repro_hm_cls: jnp.ndarray,
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
-        cfg = self.cfg
         B = cur_img.shape[0]
-        channels = (16, 32, 64, 128, 256, 512)
-
-        # --- Siamese trunk, batched: [prev; cur] along batch -----------------
-        stem_img = Stem(channels[0], name="pre_img_stem")
-        stem_hm = Stem(channels[0], name="pre_hm_stem")
+        # Siamese trunk, batched: [prev; cur] along batch (same weights, one
+        # pass, larger MXU-friendly shapes; ref dla.py:1506-1507 runs twice)
         imgs = jnp.concatenate([pre_img, cur_img], axis=0)
         hms = jnp.concatenate([pre_hm, repro_hm], axis=0)
-        stem_out = stem_img(imgs, train) + stem_hm(hms, train)
-        feats = DLA34Backbone(channels, name="base")(stem_out, train)
+        feats = self.trunk(imgs, hms, train)
         pre_feats = [f[:B] for f in feats]
         cur_feats = [f[B:] for f in feats]
-
-        # --- temporal fusion per level --------------------------------------
-        fused: List[jnp.ndarray] = []
-        for i in range(6):
-            K = cfg.k_list[i]
-            kernel = cfg.kernel_list[i]
-            scale = cfg.scale_list[i]
-            Hf, Wf = pre_feats[i].shape[1], pre_feats[i].shape[2]
-            C = pre_feats[i].shape[3]
-
-            pre_xy = attn_lib.topk_class_indices(pre_hm_cls, K)
-            cur_xy = attn_lib.topk_class_indices(repro_hm_cls, K)
-            pre_ids = attn_lib.window_feat_ids(pre_xy, scale, kernel, Hf, Wf)
-            cur_ids = attn_lib.window_feat_ids(cur_xy, scale, kernel, Hf, Wf)
-            pre_key = attn_lib.gather_window_features(pre_feats[i], pre_ids)
-            cur_query = attn_lib.gather_window_features(cur_feats[i], cur_ids)
-
-            if i < 3:
-                n_tokens = cfg.num_classes * K * (1 + 2 * (kernel // 2)) ** 2
-                out = attn_lib.TransformerEncoder(
-                    d_inp=16 * (2 ** i),
-                    d_model=4 * (2 ** i),
-                    n_tokens=n_tokens,
-                    num_layers=cfg.num_decoder_layers,
-                    n_heads=cfg.n_heads,
-                    pos_embed=cfg.pos_embed,
-                    use_fused=cfg.fused_attention,
-                    fused_interpret=cfg.fused_attention_interpret,
-                    name=f"transformer_{i}",
-                )(cur_query, pre_key, pre_key, train)
-            else:
-                out = pre_key
-
-            merged = attn_lib.CatLayer(C, name=f"cat_layer_{i}")(
-                jnp.concatenate([out, cur_query], axis=-1)
-            )
-            fused.append(
-                attn_lib.scatter_window_features(cur_feats[i], cur_ids, merged)
-            )
-
-        # --- decode ----------------------------------------------------------
-        first_level, last_level = 2, 5
-        dla_channels = channels[first_level:]
-        scales = tuple(2 ** i for i in range(len(dla_channels)))
-        outs = DLAUp(
-            first_level, dla_channels, scales, cfg.dla_node, name="dla_up"
-        )(fused[first_level:], train)
-
-        y = [outs[i] for i in range(last_level - first_level)]
-        y = IDAUp(
-            dla_channels[0],
-            tuple(dla_channels[: last_level - first_level]),
-            tuple(2 ** i for i in range(last_level - first_level)),
-            cfg.dla_node,
-            name="ida_up",
-        )(y, 0, len(y), train)
-        feat = y[-1]  # (B, H/4, W/4, 64)
-
-        # --- heads (wh omitted, ref base_model.py:114-115) -------------------
-        return {
-            "hm": HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias, name="hm")(feat),
-            "reg": HeadConv(2, cfg.head_conv, name="reg")(feat),
-            "tracking": HeadConv(2, cfg.head_conv, name="tracking")(feat),
-        }
+        return self.fuse(pre_feats, cur_feats, pre_hm_cls, repro_hm_cls, train)
 
 
 class CenterNetSingle(nn.Module):

@@ -164,6 +164,35 @@ def test_infer_dream_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_depth_mode(tmp_path):
+    """--depth training: 42-joint flat-directory dataset end-to-end
+    (ref CenterTrackSeqDepthDataset, datasets.py:445-635)."""
+    from sgtapose_tpu.data.synthetic import write_depth_dataset
+
+    data_dir = str(tmp_path / "depth")
+    out_dir = str(tmp_path / "exp")
+    write_depth_dataset(data_dir, set_name="panda-depth", n_frames=4)
+
+    from sgtapose_tpu.cli import train as train_cli
+
+    train_cli.main(
+        [
+            "--dataset", os.path.join(data_dir, "panda-depth"),
+            "--output_dir", out_dir,
+            "--depth",
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+            "--input_res", "64",
+            "--dla_node", "conv",
+            "--kernel_list", "3,3,3,1,1,1",
+        ]
+    )
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "epoch_1"))
+
+
+@pytest.mark.slow
 def test_infer_depth_mode(tmp_path):
     """--depth: the 42-joint depth-variant path end-to-end
     (ref inference.py:407-522 + the ours_42 analysis)."""

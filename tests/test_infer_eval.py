@@ -225,6 +225,47 @@ def test_detector_scan_runs():
     assert np.all(sent | inrange)
 
 
+@pytest.mark.slow
+def test_cached_detector_matches_exact_on_frame0_and_runs():
+    """Feature-cache fast path: frame 0 is EXACT (both Siamese passes see
+    zero priors there), later frames run with finite outputs. Also checks
+    hm agreement on frame 0 via detections+scores."""
+    model = create_model(TINY.model)
+    T = 3
+    _, imgs = synthetic.make_sequence(jax.random.PRNGKey(0), T)
+    images, _, _ = det_lib.preprocess_frames(imgs, TINY)
+    x3d = jnp.tile(synthetic.SKELETON[None], (T, 1, 1))
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        images[:1], images[:1],
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 16, 16, 7)), jnp.zeros((1, 16, 16, 7)),
+        train=False,
+    )
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    video = det_lib.VideoFrames(images=images, x3d=x3d)
+    exact = det_lib.make_video_detector(
+        apply, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )(video)
+    cached = det_lib.make_cached_video_detector(
+        model, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )(video)
+    np.testing.assert_allclose(
+        np.asarray(cached.detected_kps[0]), np.asarray(exact.detected_kps[0]),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached.scores[0]), np.asarray(exact.scores[0]), atol=1e-4
+    )
+    assert np.isfinite(np.asarray(cached.detected_kps)).all()
+    assert cached.detected_kps.shape == exact.detected_kps.shape
+
+
 def test_dream_detector_runs():
     """Single-frame DREAM-mode path: untrained hourglass, shapes + coordinate
     conversion round trip."""
