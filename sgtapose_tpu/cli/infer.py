@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--multi_frame", type=int, default=0,
                    help="sliding-window multiframe PnP size (0 = off)")
     p.add_argument("--max_videos", type=int, default=None)
+    p.add_argument("--phase", default=None,
+                   help="inference phase/arch family (default: PlanA_win, or "
+                        "Dream when --is_ct false); see train/phases.py")
     p.add_argument("--is_ct", default="true", choices=["true", "false"],
                    help="false = DREAM-baseline single-frame mode "
                         "(ref sgta_detector.py:50-52, model.py:31-41)")
@@ -76,7 +79,9 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
 
         return run
 
-    scan = det_lib.make_video_detector(apply, variables, cfg, camera_K, raw_hw)
+    scan = det_lib.make_video_detector(
+        apply, variables, cfg, camera_K, raw_hw, phase=args.phase
+    )
 
     def run(imgs_np, x3d):
         images, _, _ = det_lib.preprocess_frames(jnp.asarray(imgs_np), cfg)
@@ -321,10 +326,20 @@ def main(argv=None):
         ),
         robot=args.robot,
     )
+    if args.phase is None:
+        args.phase = "Dream" if args.is_ct == "false" else "PlanA_win"
+    if args.phase.startswith("ablation_"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, ablation_mode=args.phase[len("ablation_"):]
+            ),
+        )
     model = create_model(cfg.model)
-    phase = "Dream" if args.is_ct == "false" else "PlanA_win"
     state = trainer.create_train_state_for_phase(
-        cfg, jax.random.PRNGKey(0), phase, max_iters=1
+        cfg, jax.random.PRNGKey(0), args.phase, max_iters=1
     )
     if args.ckpt:
         state = trainer.load_checkpoint(os.path.abspath(args.ckpt), state)

@@ -68,7 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 model compute with f32 master params")
     p.add_argument("--phase", default="PlanA_win",
-                   help="training phase: PlanA_win | CenterTrack | CenterNet | Dream")
+                   help="training phase (train/phases.py PHASES): PlanA_win | "
+                        "PlanA | PlanACAT | ablation_* | CenterTrack | "
+                        "CenterNet | Dream")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--image_log_every", type=int, default=250,
@@ -78,6 +80,10 @@ def parse_args(argv=None):
 
 
 def build_config(args) -> Config:
+    ablation_mode = (
+        args.phase[len("ablation_"):] if args.phase.startswith("ablation_")
+        else "shared_repro"
+    )
     return Config(
         model=ModelConfig(
             arch=args.arch,
@@ -85,6 +91,7 @@ def build_config(args) -> Config:
             num_classes=42 if args.depth else len(KEYPOINT_NAMES[args.robot]),
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
+            ablation_mode=ablation_mode,
         ),
         train=TrainConfig(
             lr=args.lr,

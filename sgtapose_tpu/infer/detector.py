@@ -124,17 +124,36 @@ def _render_priors(
     )
 
 
+def _phase_model_inputs(phase: str, cur, pre_img, pre_hm, repro_hm, pre_cls, repro_cls):
+    """Inference-time phase dispatch (ref sgta_detector.py:881-907 process):
+    which prior tensors each arch family consumes."""
+    if phase == "PlanA_win":
+        return (cur, pre_img, pre_hm, repro_hm, pre_cls, repro_cls)
+    if phase in ("PlanA", "PlanACAT", "ablation_shared_repro",
+                 "ablation_shared", "ablation_wo_shared"):
+        # ablation_shared/wo_shared ignore repro_hm internally
+        # (ref passes 3 args there; our modules take it positionally)
+        return (cur, pre_img, pre_hm, repro_hm)
+    if phase == "CenterTrack":
+        return (cur, pre_img, pre_hm)
+    if phase == "CenterNet":
+        return (cur,)
+    raise ValueError(f"unknown detector phase: {phase}")
+
+
 def _build_video_runner(
     model_apply,
     variables,
     cfg: Config,
     camera_K,
     raw_hw: Tuple[int, int],
+    phase: str = "PlanA_win",
 ):
     """fn(video: VideoFrames) -> FrameResult stacked over T (unjitted).
 
-    model_apply: bound flax apply (variables, 6 inputs, train=False) -> heads.
-    raw_hw: raw video resolution (H_raw, W_raw) — static per camera.
+    model_apply: bound flax apply (variables, phase inputs, train=False) ->
+    heads. raw_hw: raw video resolution (H_raw, W_raw) — static per camera.
+    phase selects the arch family's prior wiring (ref process() dispatch).
     """
     H_raw, W_raw = raw_hw
     in_h, in_w = cfg.model.input_res
@@ -172,12 +191,10 @@ def _build_video_runner(
         # ---- model + decode -------------------------------------------------
         out = model_apply(
             variables,
-            cur_img[None],
-            pre_img[None],
-            pre_hm[None],
-            repro_hm[None],
-            pre_cls[None],
-            repro_cls[None],
+            *_phase_model_inputs(
+                phase, cur_img[None], pre_img[None], pre_hm[None],
+                repro_hm[None], pre_cls[None], repro_cls[None],
+            ),
         )
         hm = jnp.clip(jax.nn.sigmoid(out["hm"][0]), 1e-4, 1 - 1e-4)
         dec = decode_lib.decode_heatmaps(
@@ -224,16 +241,20 @@ def _build_video_runner(
     return run_video
 
 
-def make_video_detector(model_apply, variables, cfg, camera_K, raw_hw):
+def make_video_detector(model_apply, variables, cfg, camera_K, raw_hw,
+                        phase: str = "PlanA_win"):
     """Jitted single-video detector: fn(VideoFrames) -> FrameResult over T."""
-    return jax.jit(_build_video_runner(model_apply, variables, cfg, camera_K, raw_hw))
+    return jax.jit(
+        _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw, phase)
+    )
 
 
-def make_batched_video_detector(model_apply, variables, cfg, camera_K, raw_hw):
+def make_batched_video_detector(model_apply, variables, cfg, camera_K, raw_hw,
+                                phase: str = "PlanA_win"):
     """Batch across videos (frames are sequentially dependent; videos are
     not — SURVEY.md §7.7 'batch across videos'). fn(stacked VideoFrames with
     leading video dim) -> stacked FrameResult."""
-    runner = _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw)
+    runner = _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw, phase)
     return jax.jit(jax.vmap(runner))
 
 

@@ -36,6 +36,7 @@ formulation, measured at <0.05 ms of the 0.36 ms batch-8 forward.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +104,7 @@ def _fwd(q, k, v, bias, interpret):
     bias_spec = pl.BlockSpec(
         (1, qb, n_pad), lambda b, i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
-    scale = 1.0 / float(jnp.sqrt(jnp.float32(d)))
+    scale = 1.0 / math.sqrt(d)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=grid,

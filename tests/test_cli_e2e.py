@@ -164,6 +164,44 @@ def test_infer_dream_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_then_infer_global_attention_arch(tmp_path):
+    """The dlapa (DLA_PlanA global-attention) arch trains one epoch and runs
+    streaming inference via --phase PlanA — each zoo arch must decode
+    end-to-end, not just forward (VERDICT round-1 item 4)."""
+    train_dir = str(tmp_path / "train_data")
+    out_dir = str(tmp_path / "exp")
+    res_dir = str(tmp_path / "results")
+    write_synthetic_dataset(train_dir, n_videos=1, n_frames=3, seed=0)
+
+    from sgtapose_tpu.cli import infer as infer_cli
+    from sgtapose_tpu.cli import train as train_cli
+
+    arch_args = ["--arch", "dlapa_34", "--phase", "PlanA"]
+    train_cli.main(
+        [
+            "--dataset", train_dir,
+            "--output_dir", out_dir,
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+        ]
+        + COMMON + arch_args
+    )
+    ckpt = os.path.join(out_dir, "ckpt", "epoch_1")
+    assert os.path.isdir(ckpt)
+    results = infer_cli.main(
+        [
+            "--dataset", train_dir,
+            "--ckpt", ckpt,
+            "--output_dir", res_dir,
+        ]
+        + COMMON + arch_args
+    )
+    assert results["keypoint_metrics"]["num_gt_inframe"] > 0
+
+
+@pytest.mark.slow
 def test_train_depth_mode(tmp_path):
     """--depth training: 42-joint flat-directory dataset end-to-end
     (ref CenterTrackSeqDepthDataset, datasets.py:445-635)."""
