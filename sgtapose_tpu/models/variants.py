@@ -37,14 +37,17 @@ from sgtapose_tpu.models.sgta import HeadConv
 
 
 class _DecoderHeads(nn.Module):
-    """Shared DLAUp+IDAUp+heads tail."""
+    """Shared DLAUp+IDAUp+heads tail. width_mult widens every decoder level
+    (DLA_PlanACAT runs the decoder at 2x width over channel-concatenated
+    features, ref dla.py:1125-1133)."""
 
     cfg: ModelConfig
+    width_mult: int = 1
 
     @nn.compact
     def __call__(self, fused: List[jnp.ndarray], train: bool = False):
         cfg = self.cfg
-        channels = (16, 32, 64, 128, 256, 512)
+        channels = tuple(c * self.width_mult for c in (16, 32, 64, 128, 256, 512))
         first_level, last_level = 2, 5
         dla_channels = channels[first_level:]
         scales = tuple(2 ** i for i in range(len(dla_channels)))
@@ -318,7 +321,10 @@ class SGTAPoseAblation(nn.Module):
 
 
 class SGTAPoseCat(nn.Module):
-    """Channel-concat temporal baseline (no attention)."""
+    """Channel-concat temporal baseline (no attention). Matches the
+    reference's structure exactly: per-level concat([pre, cur]) with NO
+    mixing layer, then DLAUp/IDAUp at DOUBLE width (channels_up = 2*channels,
+    ref dla.py:1125-1133, 1142-1147)."""
 
     cfg: ModelConfig
 
@@ -337,9 +343,8 @@ class SGTAPoseCat(nn.Module):
         feats = DLA34Backbone(channels, name="base")(
             stem_img(imgs, train) + stem_hm(hms, train), train
         )
-        fused = []
-        for i in range(6):
-            both = jnp.concatenate([feats[i][:B], feats[i][B:]], axis=-1)
-            mixed = nn.Conv(channels[i], kernel_size=(1, 1), name=f"mix_{i}")(both)
-            fused.append(nn.relu(mixed))
-        return _DecoderHeads(cfg, name="decoder")(fused, train)
+        fused = [
+            jnp.concatenate([feats[i][:B], feats[i][B:]], axis=-1)
+            for i in range(6)
+        ]
+        return _DecoderHeads(cfg, width_mult=2, name="decoder")(fused, train)
