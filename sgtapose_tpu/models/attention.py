@@ -249,12 +249,15 @@ class TransformerEncoder(nn.Module):
 
 class CatLayer(nn.Module):
     """2-layer MLP merging attended + current features before write-back
-    (ref cat_layer dla.py:1499-1502: Linear(2C->4C), ReLU, Linear(4C->C))."""
+    (ref cat_layer dla.py:1499-1502: Linear(2C->4C), ReLU, Linear(4C->C)).
+    The 3-frame variant uses Linear(3C->6C), ReLU, Linear(6C->C)
+    (ref dla.py:1394-1397) — pass hidden explicitly there."""
 
     features: int  # C of this level
+    hidden: int | None = None  # default 4*features
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features * 4, name="fc1")(x)
+        x = nn.Dense(self.hidden or self.features * 4, name="fc1")(x)
         x = nn.relu(x)
         return nn.Dense(self.features, name="fc2")(x)

@@ -115,10 +115,20 @@ class _WindowAttention(nn.Module):
 
 
 class SGTAPoseThree(nn.Module):
-    """Three-frame variant: ppre -> pre -> cur attention chain."""
+    """Three-frame variant (ref DLA_PlanAWindow_Three dla.py:1349-1456):
+    levels 0-2, the CURRENT frame's windowed queries attend BOTH the ppre and
+    pre frames' keys in parallel (two transformer stacks, optionally shared
+    via --shared_ca), then cat([ppre_out, pre_out, cur_query]) goes through a
+    3C->6C->C cat_layer and substitutes back at the current windows; levels
+    3-5 fuse densely per pixel through the same-shaped cat_layer.
+
+    Reproduced reference quirk (dla.py:1443): the dense path assigns
+    `ppre_f = pre_feats...` — the ppre features are NEVER used at levels 3-5;
+    pre is concatenated twice. Kept for checkpoint parity.
+    """
 
     cfg: ModelConfig
-    shared_ca: bool = False  # share attention weights between the two stages
+    shared_ca: bool = False  # share attention weights between the two keys
 
     @nn.compact
     def __call__(
@@ -145,14 +155,50 @@ class SGTAPoseThree(nn.Module):
 
         fused = []
         for i in range(6):
-            stage1 = _WindowAttention(cfg, i, name=f"attn1_{i}")
-            stage2 = (
-                stage1 if self.shared_ca
-                else _WindowAttention(cfg, i, name=f"attn2_{i}")
-            )
-            # ppre conditions pre; the updated pre conditions cur
-            pre_i = stage1(ppre[i], pre[i], ppre_hm_cls, pre_hm_cls, train)
-            fused.append(stage2(pre_i, cur[i], pre_hm_cls, repro_hm_cls, train))
+            C = channels[i]
+            if i < 3:
+                K = cfg.k_list[i]
+                kernel = cfg.kernel_list[i]
+                scale = cfg.scale_list[i]
+                Hf, Wf = cur[i].shape[1], cur[i].shape[2]
+                ppre_xy = attn_lib.topk_class_indices(ppre_hm_cls, K)
+                pre_xy = attn_lib.topk_class_indices(pre_hm_cls, K)
+                cur_xy = attn_lib.topk_class_indices(repro_hm_cls, K)
+                ppre_ids = attn_lib.window_feat_ids(ppre_xy, scale, kernel, Hf, Wf)
+                pre_ids = attn_lib.window_feat_ids(pre_xy, scale, kernel, Hf, Wf)
+                cur_ids = attn_lib.window_feat_ids(cur_xy, scale, kernel, Hf, Wf)
+                ppre_key = attn_lib.gather_window_features(ppre[i], ppre_ids)
+                pre_key = attn_lib.gather_window_features(pre[i], pre_ids)
+                cur_query = attn_lib.gather_window_features(cur[i], cur_ids)
+
+                n_tokens = cfg.num_classes * K * (1 + 2 * (kernel // 2)) ** 2
+                mk_tr = lambda name: attn_lib.TransformerEncoder(
+                    d_inp=16 * (2 ** i),
+                    d_model=4 * (2 ** i),
+                    n_tokens=n_tokens,
+                    num_layers=cfg.num_decoder_layers,
+                    n_heads=cfg.n_heads,
+                    pos_embed=cfg.pos_embed,
+                    use_fused=cfg.fused_attention,
+                    fused_interpret=cfg.fused_attention_interpret,
+                    name=name,
+                )
+                pre_tr = mk_tr(f"prev_transformer_{i}")
+                ppre_tr = pre_tr if self.shared_ca else mk_tr(f"pprev_transformer_{i}")
+                ppre_out = ppre_tr(cur_query, ppre_key, ppre_key, train)
+                pre_out = pre_tr(cur_query, pre_key, pre_key, train)
+                merged = attn_lib.CatLayer(C, hidden=C * 6, name=f"cat_layer_{i}")(
+                    jnp.concatenate([ppre_out, pre_out, cur_query], axis=-1)
+                )
+                fused.append(
+                    attn_lib.scatter_window_features(cur[i], cur_ids, merged)
+                )
+            else:
+                # ref quirk: pre concatenated twice, ppre unused (dla.py:1443)
+                dense = jnp.concatenate([pre[i], pre[i], cur[i]], axis=-1)
+                fused.append(
+                    attn_lib.CatLayer(C, hidden=C * 6, name=f"cat_layer_{i}")(dense)
+                )
 
         return _DecoderHeads(cfg, name="decoder")(fused, train)
 

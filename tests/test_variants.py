@@ -29,8 +29,14 @@ def test_three_frame_forward():
     out = m.apply(v, *args, train=False)
     assert out["hm"].shape == (1, 16, 16, 7)
     assert np.isfinite(np.asarray(out["hm"])).all()
-    # unshared: two attention stacks per level
-    assert "attn1_0" in v["params"] and "attn2_0" in v["params"]
+    p = v["params"]
+    # unshared: two parallel attention stacks per attn level (ref
+    # pprev_transformer + prev_transformer, dla.py:1386-1393)
+    assert "prev_transformer_0" in p and "pprev_transformer_0" in p
+    # dense levels 3-5 use the 3C->6C->C cat_layer
+    assert "cat_layer_5" in p
+    fc1 = p["cat_layer_5"]["fc1"]["kernel"]
+    assert fc1.shape == (512 * 3, 512 * 6), fc1.shape
 
 
 def test_three_frame_shared_ca():
@@ -38,8 +44,9 @@ def test_three_frame_shared_ca():
     m = SGTAPoseThree(TINY, shared_ca=True)
     args = (img, img, img, hm, hm, hm, cls, cls, cls)
     v = m.init(jax.random.PRNGKey(1), *args, train=False)
-    # shared: only one attention stack per level
-    assert "attn1_0" in v["params"] and "attn2_0" not in v["params"]
+    # shared: only the prev stack exists; it serves both keys
+    p = v["params"]
+    assert "prev_transformer_0" in p and "pprev_transformer_0" not in p
 
 
 def test_cat_baseline_forward():
