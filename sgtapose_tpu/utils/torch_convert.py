@@ -67,15 +67,25 @@ def _basic_block(ref: str):
     }
 
 
-def _flag_map(dla_node: str = "dcn") -> Dict[str, Tuple[str, Optional[callable]]]:
+def _flag_map(
+    dla_node: str = "dcn", arch: str = "dlapawdl3new"
+) -> Dict[str, Tuple[str, Optional[callable]]]:
     """our param path -> (ref name/prefix, transform). BN entries map the
     module prefix; scale/bias/mean/var resolve inside convert().
 
     dla_node selects the decoder-node naming: "dcn" maps the reference's
     DeformConv (conv_offset_mask + DCN main + actf BN, ref dla.py:538-550);
     "conv" maps the reference's Conv node (Sequential(1x1 conv, BN, ReLU) under
-    `.conv.0/.conv.1`, ref dla.py:498-507) used when --dla_node conv."""
+    `.conv.0/.conv.1`, ref dla.py:498-507) used when --dla_node conv.
+
+    arch selects the head-of-tree naming:
+      dlapawdl3new — flagship (transformer_{0..2} + cat_layer_{0..5})
+      dlapacat     — concat baseline (no attention modules; decoder names are
+                     identical, only widths differ — shape-checked downstream);
+                     our module prefixes everything under `decoder/`
+    """
     m: Dict[str, Tuple[str, Optional[callable]]] = {}
+    dec = "decoder/" if arch == "dlapacat" else ""
 
     # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
     m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
@@ -124,13 +134,25 @@ def _flag_map(dla_node: str = "dcn") -> Dict[str, Tuple[str, Optional[callable]]
     ida_shapes = {"ida_0": (1,), "ida_1": (1, 2), "ida_2": (1, 2, 3)}
     for ida, js in ida_shapes.items():
         for j in js:
-            add_deform(f"dla_up/{ida}/proj_{j}", f"dla_up.{ida}.proj_{j}")
-            add_deform(f"dla_up/{ida}/node_{j}", f"dla_up.{ida}.node_{j}")
-            m[f"dla_up/{ida}/up_{j}/kernel"] = (f"dla_up.{ida}.up_{j}.weight", _up)
+            add_deform(f"{dec}dla_up/{ida}/proj_{j}", f"dla_up.{ida}.proj_{j}")
+            add_deform(f"{dec}dla_up/{ida}/node_{j}", f"dla_up.{ida}.node_{j}")
+            m[f"{dec}dla_up/{ida}/up_{j}/kernel"] = (f"dla_up.{ida}.up_{j}.weight", _up)
     for j in (1, 2):
-        add_deform(f"ida_up/proj_{j}", f"ida_up.proj_{j}")
-        add_deform(f"ida_up/node_{j}", f"ida_up.node_{j}")
-        m[f"ida_up/up_{j}/kernel"] = (f"ida_up.up_{j}.weight", _up)
+        add_deform(f"{dec}ida_up/proj_{j}", f"ida_up.proj_{j}")
+        add_deform(f"{dec}ida_up/node_{j}", f"ida_up.node_{j}")
+        m[f"{dec}ida_up/up_{j}/kernel"] = (f"ida_up.up_{j}.weight", _up)
+
+    # heads (Sequential(conv3x3, ReLU, conv1x1) -> indices 0, 2)
+    for head in ("hm", "reg", "tracking"):
+        m[f"{dec}{head}/Conv_0/kernel"] = (f"{head}.0.weight", _conv)
+        m[f"{dec}{head}/Conv_0/bias"] = (f"{head}.0.bias", None)
+        m[f"{dec}{head}/Conv_1/kernel"] = (f"{head}.2.weight", _conv)
+        m[f"{dec}{head}/Conv_1/bias"] = (f"{head}.2.bias", None)
+
+    if arch == "dlapacat":
+        return m
+    if arch != "dlapawdl3new":
+        raise ValueError(f"no converter mapping for arch: {arch}")
 
     # temporal attention (weight-tied: read layers.0)
     for i in range(3):
@@ -155,13 +177,6 @@ def _flag_map(dla_node: str = "dcn") -> Dict[str, Tuple[str, Optional[callable]]
         m[f"cat_layer_{i}/fc1/bias"] = (f"cat_layer.{i}.0.bias", None)
         m[f"cat_layer_{i}/fc2/kernel"] = (f"cat_layer.{i}.2.weight", _linear)
         m[f"cat_layer_{i}/fc2/bias"] = (f"cat_layer.{i}.2.bias", None)
-
-    # heads (Sequential(conv3x3, ReLU, conv1x1) -> indices 0, 2)
-    for head in ("hm", "reg", "tracking"):
-        m[f"{head}/Conv_0/kernel"] = (f"{head}.0.weight", _conv)
-        m[f"{head}/Conv_0/bias"] = (f"{head}.0.bias", None)
-        m[f"{head}/Conv_1/kernel"] = (f"{head}.2.weight", _conv)
-        m[f"{head}/Conv_1/bias"] = (f"{head}.2.bias", None)
     return m
 
 
@@ -183,6 +198,7 @@ def convert_state_dict(
     bgr_to_rgb: bool = True,
     strict: bool = True,
     dla_node: str = "dcn",
+    arch: str = "dlapawdl3new",
 ):
     """Returns (new_params, new_batch_stats, report). Shapes are validated
     against the provided trees (like load_model's shape-mismatch skip, but
@@ -190,7 +206,7 @@ def convert_state_dict(
     import jax
 
     sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
-    mapping = _flag_map(dla_node)
+    mapping = _flag_map(dla_node, arch)
     used = set()
     missing, mismatched = [], []
 

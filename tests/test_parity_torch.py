@@ -171,3 +171,71 @@ def test_forward_parity_f64_exact(parity_pair):
             our_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
             max_err = np.abs(ref_h - our_h).max()
             assert max_err < 1e-9, f"{head}: f64 max|Δ|={max_err:.3e}"
+
+
+def test_cat_arch_structure_and_reference_bug():
+    """DLA_PlanACAT: the reference model is BROKEN as shipped — BaseModelPlanA
+    builds its heads for 64 input channels (base_model.py:62 last_channel=64)
+    while the CAT decoder outputs 128 (channels_up = 2*channels,
+    dla.py:1125-1133), so its forward crashes. This test (a) documents that
+    crash against the real reference, (b) proves our SGTAPoseCat matches the
+    reference structurally everywhere conversion is POSSIBLE (backbone +
+    doubled decoder: 287 tensors map exactly; only the 3 impossible head
+    kernels mismatch), and (c) shows our fixed version (heads over the
+    128-ch decoder — the evident intent) runs."""
+    import jax
+
+    from sgtapose_tpu.models.variants import SGTAPoseCat
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt()
+    ref_model = dla.DLA_PlanACAT(34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt)
+    _randomize(ref_model, seed=99)
+    ref_model.eval()
+
+    # (a) the reference forward crashes on the 64-vs-128 head mismatch
+    with pytest.raises(RuntimeError, match="128 channels"):
+        with torch.no_grad():
+            ref_model(
+                torch.rand(1, 3, 64, 64),
+                pre_img=torch.rand(1, 3, 64, 64),
+                pre_hm=torch.rand(1, 1, 64, 64),
+                repro_hm=torch.rand(1, 1, 64, 64),
+            )
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    cfg = ModelConfig(arch="dlapacat_34", input_res=(RES, RES), dla_node="conv")
+    our_model = SGTAPoseCat(cfg)
+    variables = our_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1, RES, RES, 3)),
+        jnp.zeros((1, RES, RES, 1)), jnp.zeros((1, RES, RES, 1)),
+        train=False,
+    )
+    params, stats, report = tc.convert_state_dict(
+        sd, variables["params"], variables["batch_stats"],
+        bgr_to_rgb=False, strict=False, dla_node="conv", arch="dlapacat",
+    )
+    # (b) everything convertible converts; the only mismatches are the three
+    # head input kernels the reference itself got wrong
+    assert not report["missing"], report["missing"]
+    bad = {m[0] for m in report["mismatched"]}
+    assert bad == {
+        "decoder/hm/Conv_0/kernel",
+        "decoder/reg/Conv_0/kernel",
+        "decoder/tracking/Conv_0/kernel",
+    }, report["mismatched"]
+    assert report["n_converted"] >= 280
+
+    # (c) our fixed CAT runs with the converted backbone+decoder
+    rng = np.random.RandomState(21)
+    nhwc = lambda a: jnp.asarray(a)
+    out = our_model.apply(
+        {"params": params, "batch_stats": stats},
+        nhwc(rng.rand(1, RES, RES, 3).astype(np.float32)),
+        nhwc(rng.rand(1, RES, RES, 3).astype(np.float32)),
+        nhwc(rng.rand(1, RES, RES, 1).astype(np.float32)),
+        nhwc(rng.rand(1, RES, RES, 1).astype(np.float32)),
+        train=False,
+    )
+    assert np.isfinite(np.asarray(out["hm"])).all()
