@@ -83,9 +83,11 @@ def _flag_map(
       dlapacat     — concat baseline (no attention modules; decoder names are
                      identical, only widths differ — shape-checked downstream);
                      our module prefixes everything under `decoder/`
+      dlapa        — global-attention variant (transformer_{0..5} WITHOUT
+                     pos_embed + cat_layer_{0..5}, decoder under `decoder/`)
     """
     m: Dict[str, Tuple[str, Optional[callable]]] = {}
-    dec = "decoder/" if arch == "dlapacat" else ""
+    dec = "decoder/" if arch in ("dlapacat", "dlapa") else ""
 
     # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
     m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
@@ -151,11 +153,11 @@ def _flag_map(
 
     if arch == "dlapacat":
         return m
-    if arch != "dlapawdl3new":
+    if arch not in ("dlapawdl3new", "dlapa"):
         raise ValueError(f"no converter mapping for arch: {arch}")
 
-    # temporal attention (weight-tied: read layers.0)
-    for i in range(3):
+    def add_transformer(i: int, pos_embed: bool):
+        # weight-tied: read layers.0 (ref _get_clones reuses one instance)
         ref = f"transformer.{i}.layers.0"
         our = f"transformer_{i}/layer"
         for proj in ("w_q", "w_k", "w_v"):
@@ -163,13 +165,18 @@ def _flag_map(
                 f"{ref}.cross_attn.{proj}.weight", _linear)
         m[f"{our}/cross_attn/fc/kernel"] = (f"{ref}.cross_attn.fc.weight", _linear)
         m[f"{our}/cross_attn/fc/bias"] = (f"{ref}.cross_attn.fc.bias", None)
-        m[f"{our}/cross_attn/pos_embed"] = (f"{ref}.cross_attn.pos_embed", None)
+        if pos_embed:
+            m[f"{our}/cross_attn/pos_embed"] = (f"{ref}.cross_attn.pos_embed", None)
         for ln, rn in (("norm1", "norm1"), ("norm3", "norm3")):
             m[f"{our}/{ln}/scale"] = (f"{ref}.{rn}.weight", None)
             m[f"{our}/{ln}/bias"] = (f"{ref}.{rn}.bias", None)
         for lin in ("linear1", "linear2"):
             m[f"{our}/{lin}/kernel"] = (f"{ref}.{lin}.weight", _linear)
             m[f"{our}/{lin}/bias"] = (f"{ref}.{lin}.bias", None)
+
+    n_transformers = 6 if arch == "dlapa" else 3
+    for i in range(n_transformers):
+        add_transformer(i, pos_embed=(arch == "dlapawdl3new"))
 
     # cat layers
     for i in range(6):

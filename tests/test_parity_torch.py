@@ -239,3 +239,81 @@ def test_cat_arch_structure_and_reference_bug():
         train=False,
     )
     assert np.isfinite(np.asarray(out["hm"])).all()
+
+
+def _global_topk_priors(rng, n_top=28, res=RES):
+    """1-channel full-res priors whose top-28 flat indices are (a) strictly
+    ordered by value (no torch/XLA top-k tie ambiguity) and (b) spaced so the
+    idx/(H*W) fraction maps to DISTINCT cells at every trunk level down to
+    res/32 (DLA_PlanA's flat-fraction renormalization, dla.py:889-896 +
+    :972-987) — duplicate scatter targets would make parity ill-defined."""
+    hw = res * res
+    coarse = (res // 32) ** 2  # coarsest level's flat size
+    stride = hw // coarse  # one fraction-block per coarse cell
+    hm = rng.rand(1, 1, res, res).astype(np.float32) * 0.4
+    flat = hm.reshape(-1)
+    for k in range(n_top):
+        idx = (2 * k) * stride + stride // 3
+        flat[idx] = 5.0 - k * 0.05
+    return hm
+
+
+def test_forward_parity_global_arch_f64():
+    """DLA_PlanA (global top-K attention, all 6 levels, plain MHA) f64-exact
+    forward parity against the real reference model, including the
+    flat-index-fraction token selection quirk."""
+    import jax
+
+    from sgtapose_tpu.models.variants import SGTAPoseGlobal
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt()
+    ref_model = dla.DLA_PlanA(34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt)
+    _randomize(ref_model, seed=41)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = ModelConfig(arch="dlapa_34", input_res=(RES, RES), dla_node="conv")
+    our_model = SGTAPoseGlobal(cfg)
+    variables = our_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1, RES, RES, 3)),
+        jnp.zeros((1, RES, RES, 1)), jnp.zeros((1, RES, RES, 1)),
+        train=False,
+    )
+    params, stats, report = tc.convert_state_dict(
+        sd, variables["params"], variables["batch_stats"],
+        bgr_to_rgb=False, strict=True, dla_node="conv", arch="dlapa",
+    )
+    assert not report["missing"] and not report["mismatched"], report
+
+    rng = np.random.RandomState(31)
+    cur = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre_hm = _global_topk_priors(np.random.RandomState(32))
+    repro_hm = _global_topk_priors(np.random.RandomState(33))
+
+    ref64 = ref_model.double()
+    with torch.no_grad():
+        ref_out = ref64(
+            torch.from_numpy(cur).double(),
+            pre_img=torch.from_numpy(pre).double(),
+            pre_hm=torch.from_numpy(pre_hm).double(),
+            repro_hm=torch.from_numpy(repro_hm).double(),
+        )[0]
+
+    with jax.enable_x64(True):
+        vars64 = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64),
+            {"params": params, "batch_stats": stats},
+        )
+        nhwc = lambda a: jnp.asarray(np.transpose(a, (0, 2, 3, 1)), jnp.float64)
+        ours = our_model.apply(
+            vars64, nhwc(cur), nhwc(pre), nhwc(pre_hm), nhwc(repro_hm),
+            train=False,
+        )
+        for head in ("hm", "reg", "tracking"):
+            ref_h = ref_out[head].numpy()
+            our_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
+            max_err = np.abs(ref_h - our_h).max()
+            assert max_err < 1e-9, f"{head}: f64 max|Δ|={max_err:.3e}"
