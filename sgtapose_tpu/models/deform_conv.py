@@ -66,11 +66,17 @@ def _sample_pieces(feat, offsets, masks):
         vals = jnp.where(valid[..., None], vals, 0.0)
         corners.append((vals, idx, valid))
 
+    # Coordinate math stays f32 (bf16's 8-bit mantissa would cost ~0.5px at
+    # 120-pixel coordinates), but the bilinear WEIGHTS (values in [0,1]) are
+    # cast to the feature dtype so the big (B, H*W*9, C) products/temps stay
+    # bf16 under mixed precision — without this the f32 promotion doubles
+    # activation memory and OOMs batch-8 480p training on a 16G chip.
+    wdt = feat.dtype
     weights = (
-        ((1 - fy) * (1 - fx))[..., None],
-        ((1 - fy) * fx)[..., None],
-        (fy * (1 - fx))[..., None],
-        (fy * fx)[..., None],
+        ((1 - fy) * (1 - fx))[..., None].astype(wdt),
+        ((1 - fy) * fx)[..., None].astype(wdt),
+        (fy * (1 - fx))[..., None].astype(wdt),
+        (fy * fx)[..., None].astype(wdt),
     )
     return corners, weights, fy, fx
 
@@ -139,9 +145,11 @@ def _dsb_bwd(res, g):
     dfeat = jax.ops.segment_sum(updates, ids, num_segments=B * H * W + 1)
     dfeat = dfeat[: B * H * W].reshape(B, H, W, C)
 
-    # offset gradients: analytic bilinear derivatives
-    fy_ = fy[..., None]
-    fx_ = fx[..., None]
+    # offset gradients: analytic bilinear derivatives (fractional parts cast
+    # to the feature dtype so the (B,H,W,9,C) temps stay bf16 under mixed
+    # precision — same memory rationale as the forward weights)
+    fy_ = fy[..., None].astype(feat.dtype)
+    fx_ = fx[..., None].astype(feat.dtype)
     dval_dy = (v10 - v00) * (1 - fx_) + (v11 - v01) * fx_
     dval_dx = (v01 - v00) * (1 - fy_) + (v11 - v10) * fy_
     dy = jnp.sum(dsamp * dval_dy, axis=-1)  # (B,H,W,9)

@@ -85,20 +85,13 @@ def _flag_map(
                      our module prefixes everything under `decoder/`
       dlapa        — global-attention variant (transformer_{0..5} WITHOUT
                      pos_embed + cat_layer_{0..5}, decoder under `decoder/`)
+      dlapawd      — window variant with dense tail (attn_{0..2} window
+                     attention + cat_layer_{3..5} dense, decoder/)
+      dlaabla      — ablation archs (dense cat_layer_{0..5}, decoder/;
+                     ablation_mode="wo_shared" adds base1 + cur_img_stem)
     """
     m: Dict[str, Tuple[str, Optional[callable]]] = {}
-    dec = "decoder/" if arch in ("dlapacat", "dlapa") else ""
-
-    # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
-    m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
-    m["pre_img_stem/BatchNorm_0"] = ("base.pre_img_layer.1", None)
-    m["pre_hm_stem/Conv_0/kernel"] = ("base.pre_hm_layer.0.weight", _conv)
-    m["pre_hm_stem/BatchNorm_0"] = ("base.pre_hm_layer.1", None)
-
-    # conv levels
-    for lvl in (0, 1):
-        m[f"base/level{lvl}/Conv_0/kernel"] = (f"base.level{lvl}.0.weight", _conv)
-        m[f"base/level{lvl}/BatchNorm_0"] = (f"base.level{lvl}.1", None)
+    dec = "" if arch == "dlapawdl3new" else "decoder/"
 
     # trees. our tree path -> ref tree path for each levels-1 subtree with
     # blocks + root + optional project
@@ -113,11 +106,33 @@ def _flag_map(
             m[f"{our}/project_conv/kernel"] = (f"{ref}.project.0.weight", _conv)
             m[f"{our}/project_bn"] = (f"{ref}.project.1", None)
 
-    add_leaf_tree("base/level2", "base.level2", True)
-    add_leaf_tree("base/level5", "base.level5", True)
-    for lvl in (3, 4):
-        add_leaf_tree(f"base/level{lvl}/tree1", f"base.level{lvl}.tree1", True)
-        add_leaf_tree(f"base/level{lvl}/tree2", f"base.level{lvl}.tree2", False)
+    def add_base(our_base: str, ref_base: str):
+        """One DLA-34 trunk: conv levels 0-1 + trees 2-5."""
+        for lvl in (0, 1):
+            m[f"{our_base}/level{lvl}/Conv_0/kernel"] = (
+                f"{ref_base}.level{lvl}.0.weight", _conv)
+            m[f"{our_base}/level{lvl}/BatchNorm_0"] = (
+                f"{ref_base}.level{lvl}.1", None)
+        add_leaf_tree(f"{our_base}/level2", f"{ref_base}.level2", True)
+        add_leaf_tree(f"{our_base}/level5", f"{ref_base}.level5", True)
+        for lvl in (3, 4):
+            add_leaf_tree(f"{our_base}/level{lvl}/tree1",
+                          f"{ref_base}.level{lvl}.tree1", True)
+            add_leaf_tree(f"{our_base}/level{lvl}/tree2",
+                          f"{ref_base}.level{lvl}.tree2", False)
+
+    # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
+    m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
+    m["pre_img_stem/BatchNorm_0"] = ("base.pre_img_layer.1", None)
+    m["pre_hm_stem/Conv_0/kernel"] = ("base.pre_hm_layer.0.weight", _conv)
+    m["pre_hm_stem/BatchNorm_0"] = ("base.pre_hm_layer.1", None)
+    add_base("base", "base")
+    if arch == "dlaabla_wo_shared":
+        # separate current-frame trunk (ref dla.py:1175-1177 base1); its img
+        # stem is base1's pre_img_layer (the cur pass calls base1(pre_img=x))
+        m["cur_img_stem/Conv_0/kernel"] = ("base1.pre_img_layer.0.weight", _conv)
+        m["cur_img_stem/BatchNorm_0"] = ("base1.pre_img_layer.1", None)
+        add_base("base1", "base1")
 
     # decoder ida modules
     def add_deform(our: str, ref: str):
@@ -151,15 +166,9 @@ def _flag_map(
         m[f"{dec}{head}/Conv_1/kernel"] = (f"{head}.2.weight", _conv)
         m[f"{dec}{head}/Conv_1/bias"] = (f"{head}.2.bias", None)
 
-    if arch == "dlapacat":
-        return m
-    if arch not in ("dlapawdl3new", "dlapa"):
-        raise ValueError(f"no converter mapping for arch: {arch}")
-
-    def add_transformer(i: int, pos_embed: bool):
+    def add_transformer(i: int, our: str, pos_embed: bool):
         # weight-tied: read layers.0 (ref _get_clones reuses one instance)
         ref = f"transformer.{i}.layers.0"
-        our = f"transformer_{i}/layer"
         for proj in ("w_q", "w_k", "w_v"):
             m[f"{our}/cross_attn/{proj}/kernel"] = (
                 f"{ref}.cross_attn.{proj}.weight", _linear)
@@ -174,17 +183,37 @@ def _flag_map(
             m[f"{our}/{lin}/kernel"] = (f"{ref}.{lin}.weight", _linear)
             m[f"{our}/{lin}/bias"] = (f"{ref}.{lin}.bias", None)
 
-    n_transformers = 6 if arch == "dlapa" else 3
-    for i in range(n_transformers):
-        add_transformer(i, pos_embed=(arch == "dlapawdl3new"))
+    def add_cat_layer(i: int, our: str):
+        m[f"{our}/fc1/kernel"] = (f"cat_layer.{i}.0.weight", _linear)
+        m[f"{our}/fc1/bias"] = (f"cat_layer.{i}.0.bias", None)
+        m[f"{our}/fc2/kernel"] = (f"cat_layer.{i}.2.weight", _linear)
+        m[f"{our}/fc2/bias"] = (f"cat_layer.{i}.2.bias", None)
 
-    # cat layers
-    for i in range(6):
-        m[f"cat_layer_{i}/fc1/kernel"] = (f"cat_layer.{i}.0.weight", _linear)
-        m[f"cat_layer_{i}/fc1/bias"] = (f"cat_layer.{i}.0.bias", None)
-        m[f"cat_layer_{i}/fc2/kernel"] = (f"cat_layer.{i}.2.weight", _linear)
-        m[f"cat_layer_{i}/fc2/bias"] = (f"cat_layer.{i}.2.bias", None)
-    return m
+    if arch == "dlapacat":
+        return m
+    if arch == "dlapawdl3new":
+        for i in range(3):
+            add_transformer(i, f"transformer_{i}/layer", pos_embed=True)
+        for i in range(6):
+            add_cat_layer(i, f"cat_layer_{i}")
+        return m
+    if arch == "dlapa":
+        for i in range(6):
+            add_transformer(i, f"transformer_{i}/layer", pos_embed=False)
+            add_cat_layer(i, f"cat_layer_{i}")
+        return m
+    if arch == "dlapawd":
+        for i in range(3):
+            add_transformer(i, f"attn_{i}/transformer/layer", pos_embed=True)
+            add_cat_layer(i, f"attn_{i}/cat_layer")
+        for i in range(3, 6):
+            add_cat_layer(i, f"cat_layer_{i}/mlp")
+        return m
+    if arch in ("dlaabla", "dlaabla_wo_shared"):
+        for i in range(6):
+            add_cat_layer(i, f"cat_layer_{i}/mlp")
+        return m
+    raise ValueError(f"no converter mapping for arch: {arch}")
 
 
 _BN_PARAM = {"scale": "weight", "bias": "bias"}
@@ -262,7 +291,11 @@ def convert_state_dict(
     unused = sorted(
         k for k in sd
         if k not in used
-        and not k.startswith(("base.base_layer", "base.repro_hm_layer", "base.fc"))
+        and not k.startswith((
+            "base.base_layer", "base.repro_hm_layer", "base.fc",
+            "base1.base_layer", "base1.repro_hm_layer", "base1.fc",
+            "base1.pre_hm_layer",  # cur pass runs without a prior heatmap
+        ))
         and ".project." not in k.replace("tree1.project", "")  # dead lvl projections
         and not re.search(r"transformer\.\d\.layers\.[12]\.", k)  # tied copies
         and not k.startswith("wh")

@@ -126,3 +126,44 @@ def test_deform_conv_init_matches_plain_conv():
 
 def test_create_model_factory():
     assert isinstance(create_model(TINY), SGTAPose)
+
+
+def test_deform_sample_custom_vjp_matches_autodiff():
+    """The hand-written DCN backward (segment_sum feature grad + analytic
+    bilinear offset/mask grads) must agree with autodiff of the identical
+    forward math (f32 and bf16 cotangent paths)."""
+    import jax
+
+    from sgtapose_tpu.models import deform_conv as dc
+
+    def ref_forward(feat, offsets, masks):
+        B, H, W, C = feat.shape
+        corners, weights, _, _ = dc._sample_pieces(feat, offsets, masks)
+        out = sum(v * w for (v, _, _), w in zip(corners, weights))
+        return (out * masks[..., None]).reshape(B, H, W, 9 * C)
+
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 6, 6, 4
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    offsets = jnp.asarray(rng.randn(B, H, W, 18).astype(np.float32)) * 1.3
+    masks = jnp.asarray(rng.rand(B, H, W, 9).astype(np.float32))
+
+    def loss_custom(f, o, m):
+        return jnp.sum(jnp.sin(dc.deform_sample_batch(f, o, m)))
+
+    def loss_ref(f, o, m):
+        return jnp.sum(jnp.sin(ref_forward(f, o, m)))
+
+    g_custom = jax.grad(loss_custom, argnums=(0, 1, 2))(feat, offsets, masks)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(feat, offsets, masks)
+    for gc, gr, name in zip(g_custom, g_ref, ("feat", "offsets", "masks")):
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gr), rtol=2e-4, atol=2e-5,
+            err_msg=name,
+        )
+
+    # bf16 path: runs and stays finite with matching dtypes
+    fb, ob, mb = (x.astype(jnp.bfloat16) for x in (feat, offsets, masks))
+    gb = jax.grad(lambda f: jnp.sum(dc.deform_sample_batch(f, ob, mb).astype(jnp.float32)))(fb)
+    assert gb.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gb, np.float32)).all()

@@ -317,3 +317,138 @@ def test_forward_parity_global_arch_f64():
             our_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
             max_err = np.abs(ref_h - our_h).max()
             assert max_err < 1e-9, f"{head}: f64 max|Δ|={max_err:.3e}"
+
+
+def _f64_compare(ref_model, our_model, variables, torch_inputs, jax_inputs):
+    """Shared f64-exact head comparison."""
+    import jax
+
+    args, kwargs = torch_inputs
+    ref64 = ref_model.double()
+    with torch.no_grad():
+        ref_out = ref64(
+            *[t.double() for t in args],
+            **{k: v.double() for k, v in kwargs.items()},
+        )[0]
+    with jax.enable_x64(True):
+        vars64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), variables)
+        ours = our_model.apply(
+            vars64, *[jnp.asarray(a, jnp.float64) for a in jax_inputs],
+            train=False,
+        )
+        for head in ("hm", "reg", "tracking"):
+            ref_h = ref_out[head].numpy()
+            our_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
+            max_err = np.abs(ref_h - our_h).max()
+            assert max_err < 1e-9, f"{head}: f64 max|Δ|={max_err:.3e}"
+
+
+def test_forward_parity_window_dense_arch_f64():
+    """DLA_PlanAWindow (dlapawd): window attention levels 0-2 + dense
+    cat_layer tail 3-5, f64-exact vs the real reference model."""
+    import jax
+
+    from sgtapose_tpu.models.variants import SGTAPoseWindowDense
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt()
+    ref_model = dla.DLA_PlanAWindow(34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt)
+    _randomize(ref_model, seed=51)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = ModelConfig(arch="dlapawd_34", input_res=(RES, RES), dla_node="conv")
+    our_model = SGTAPoseWindowDense(cfg)
+    variables = our_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1, RES, RES, 3)),
+        jnp.zeros((1, RES, RES, 1)), jnp.zeros((1, RES, RES, 1)),
+        jnp.zeros((1, CLS, CLS, 7)), jnp.zeros((1, CLS, CLS, 7)),
+        train=False,
+    )
+    params, stats, report = tc.convert_state_dict(
+        sd, variables["params"], variables["batch_stats"],
+        bgr_to_rgb=False, strict=True, dla_node="conv", arch="dlapawd",
+    )
+    assert not report["missing"] and not report["mismatched"], report
+
+    rng = np.random.RandomState(61)
+    cur = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre_hm = rng.rand(1, 1, RES, RES).astype(np.float32)
+    repro_hm = rng.rand(1, 1, RES, RES).astype(np.float32)
+    pre_cls = _cls_prior_maps(np.random.RandomState(62))
+    repro_cls = _cls_prior_maps(np.random.RandomState(63))
+
+    nhwc = lambda a: np.transpose(a, (0, 2, 3, 1))
+    _f64_compare(
+        ref_model, our_model, {"params": params, "batch_stats": stats},
+        (
+            (torch.from_numpy(cur),),
+            dict(
+                pre_img=torch.from_numpy(pre),
+                pre_hm=torch.from_numpy(pre_hm),
+                repro_hm=torch.from_numpy(repro_hm),
+                pre_hm_cls=torch.from_numpy(pre_cls),
+                repro_hm_cls=torch.from_numpy(repro_cls),
+            ),
+        ),
+        (nhwc(cur), nhwc(pre), nhwc(pre_hm), nhwc(repro_hm),
+         nhwc(pre_cls), nhwc(repro_cls)),
+    )
+
+
+@pytest.mark.parametrize("mode", ["shared_repro", "wo_shared"])
+def test_forward_parity_ablation_arch_f64(mode):
+    """DLA_PlanAAblation: dense cat_layer fusion, trunk sharing per mode,
+    f64-exact vs the real reference model."""
+    import dataclasses
+
+    import jax
+
+    from sgtapose_tpu.models.variants import SGTAPoseAblation
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt(phase=f"ablation_{mode}")
+    ref_model = dla.DLA_PlanAAblation(34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt)
+    _randomize(ref_model, seed=71)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = ModelConfig(
+        arch="dlaabla_34", input_res=(RES, RES), dla_node="conv",
+        ablation_mode=mode,
+    )
+    our_model = SGTAPoseAblation(cfg)
+    variables = our_model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1, RES, RES, 3)),
+        jnp.zeros((1, RES, RES, 1)), jnp.zeros((1, RES, RES, 1)),
+        train=False,
+    )
+    conv_arch = "dlaabla_wo_shared" if mode == "wo_shared" else "dlaabla"
+    params, stats, report = tc.convert_state_dict(
+        sd, variables["params"], variables["batch_stats"],
+        bgr_to_rgb=False, strict=True, dla_node="conv", arch=conv_arch,
+    )
+    assert not report["missing"] and not report["mismatched"], report
+
+    rng = np.random.RandomState(81)
+    cur = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre = rng.rand(1, 3, RES, RES).astype(np.float32)
+    pre_hm = rng.rand(1, 1, RES, RES).astype(np.float32)
+    repro_hm = rng.rand(1, 1, RES, RES).astype(np.float32)
+
+    nhwc = lambda a: np.transpose(a, (0, 2, 3, 1))
+    _f64_compare(
+        ref_model, our_model, {"params": params, "batch_stats": stats},
+        (
+            (torch.from_numpy(cur),),
+            dict(
+                pre_img=torch.from_numpy(pre),
+                pre_hm=torch.from_numpy(pre_hm),
+                repro_hm=torch.from_numpy(repro_hm),
+            ),
+        ),
+        (nhwc(cur), nhwc(pre), nhwc(pre_hm), nhwc(repro_hm)),
+    )
