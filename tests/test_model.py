@@ -167,3 +167,26 @@ def test_deform_sample_custom_vjp_matches_autodiff():
     gb = jax.grad(lambda f: jnp.sum(dc.deform_sample_batch(f, ob, mb).astype(jnp.float32)))(fb)
     assert gb.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(gb, np.float32)).all()
+
+
+@pytest.mark.parametrize("robot,n_kp", [("kuka", 9), ("ur5e", 8)])
+def test_other_robots_forward(robot, n_kp):
+    """Kuka (9 kps) / UR5e (8 kps) configs build and forward (ref
+    get_keypoint_names opts_parallel.py:439-475; heads sized per robot)."""
+    import jax
+
+    from sgtapose_tpu.config import KEYPOINT_NAMES, ModelConfig
+    from sgtapose_tpu.models.sgta import create_model
+
+    assert len(KEYPOINT_NAMES[robot]) == n_kp
+    cfg = ModelConfig(
+        input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1),
+        dla_node="conv", num_classes=n_kp,
+    )
+    m = create_model(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    hm = jnp.zeros((1, 64, 64, 1))
+    cls = jnp.zeros((1, 16, 16, n_kp))
+    v = m.init(jax.random.PRNGKey(0), img, img, hm, hm, cls, cls, train=False)
+    out = m.apply(v, img, img, hm, hm, cls, cls, train=False)
+    assert out["hm"].shape == (1, 16, 16, n_kp)
