@@ -33,7 +33,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="primary metric only (skip cache/batch/fused extras)")
+                    help="primary metric only (skip all extras)")
+    ap.add_argument("--full", action="store_true",
+                    help="also measure batched-8-videos and fused-attention "
+                         "(adds two heavy compiles; full matrix recorded in "
+                         "docs/PERF.md)")
     args = ap.parse_args()
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
@@ -95,6 +99,7 @@ def main():
         )
         extras["fps_feature_cache"] = round(timed_fps(cached, video, T, reps=2), 2)
 
+    if args.full:
         # batched multi-video (production fill; videos are independent)
         NV = 8
         batched_video = det_lib.VideoFrames(
