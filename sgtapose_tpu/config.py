@@ -138,6 +138,11 @@ class InferConfig:
     max_peaks: int = 8  # static candidate-peak budget per class
     lm_refine: bool = True  # --rf weighted LM pose refinement
     sentinel: float = -999.999  # missing-detection marker (ref semantics)
+    # streaming fast path: warm-start the per-frame prior PnP from the
+    # previous frame's solved pose instead of a fresh DLT (eigh/svd) init
+    # (same objective + success gate; the reference re-inits via cv2 EPnP
+    # every frame). Off by default for exact parity.
+    pnp_warm_start: bool = False
 
 
 @dataclass(frozen=True)

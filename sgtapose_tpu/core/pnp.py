@@ -195,10 +195,17 @@ def solve_pnp(
     K: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     refine_iters: int = 30,
+    init: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> PnPResult:
     """Full PnP: masked DLT init + LM refine. Static-shape equivalent of
     ref solve_pnp (geometric_vision.py:43-116). `valid` masks bad rows
     (NaN filtering in the reference) with weight 0.
+
+    init: optional (quat0, trans0, use_init) warm start — when use_init is
+    True the DLT (eigh+svd) is skipped via lax.cond and LM starts from the
+    given pose (streaming detectors carry the previous frame's solution;
+    same objective and success gate, so good warm starts land in the same
+    optimum the fresh init would).
 
     success mirrors the reference's pnp_retval: False when fewer than 4 valid
     points or the solution is degenerate (non-finite).
@@ -212,8 +219,20 @@ def solve_pnp(
     x3d = jnp.where(valid[:, None], x3d, 0.0)
     x2d = jnp.where(valid[:, None], x2d, 0.0)
 
-    R0, t0 = dlt_init(x3d, x2d, K, w)
-    q0 = geometry.matrix_to_quat(R0)
+    def fresh_init(_):
+        R0, t0 = dlt_init(x3d, x2d, K, w)
+        return geometry.matrix_to_quat(R0), t0
+
+    if init is None:
+        q0, t0 = fresh_init(None)
+    else:
+        quat0, trans0, use_init = init
+        q0, t0 = jax.lax.cond(
+            use_init,
+            lambda _: (quat0.astype(jnp.float32), trans0.astype(jnp.float32)),
+            fresh_init,
+            operand=None,
+        )
     q, t = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
 
     n_valid = jnp.sum(w)
@@ -367,18 +386,20 @@ def pnp_reprojection_prior(
     next_x3d: jnp.ndarray,
     K: jnp.ndarray,
     valid: jnp.ndarray | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    init: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, PnPResult]:
     """PnP from the previous frame's (3D, 2D) pairs, then reproject the next
     frame's FK 3D keypoints: the temporal structure prior.
     (ref: geometric_vision.py:233-310 get_pnp_keypoints / is_pnp)
 
-    Returns (success, next_2d_est (N,2)). On failure the caller falls back to
-    the previous detections (is_pnp semantics).
+    init: optional warm-start pose (see solve_pnp). Returns (success,
+    next_2d_est (N,2), full PnPResult — for carrying the pose). On failure
+    the caller falls back to the previous detections (is_pnp semantics).
     """
-    res = solve_pnp(prev_x3d, prev_x2d, K, valid)
+    res = solve_pnp(prev_x3d, prev_x2d, K, valid, init=init)
     R = geometry.quat_to_matrix(res.quat)
     next_est = geometry.project_points(next_x3d, R, res.trans, K)
-    return res.success, next_est
+    return res.success, next_est, res
 
 
 def noised_pnp_prior(
@@ -404,7 +425,7 @@ def noised_pnp_prior(
     noise = jax.random.normal(k_jit, (n, 2)) * hm_disturb * 2.0
     noised = prev_x2d_gt + noise
     keep = jax.random.uniform(k_drop, (n,)) > lost_disturb
-    success, next_est = pnp_reprojection_prior(prev_x3d, noised, next_x3d, K, keep)
+    success, next_est, _ = pnp_reprojection_prior(prev_x3d, noised, next_x3d, K, keep)
     sentinel = jnp.full((n, 2), -999.999, jnp.float32)
     noised_out = jnp.where(keep[:, None], noised, sentinel)
     return success, next_est, noised_out

@@ -57,6 +57,11 @@ class DetectorCarry(NamedTuple):
     pre_img: jnp.ndarray  # (H_in, W_in, 3)
     detected_kps: jnp.ndarray  # (K, 2) raw coords or KP_SENTINEL
     frame_idx: jnp.ndarray  # () int32
+    # previous frame's solved pose — warm start for the prior PnP when
+    # cfg.infer.pnp_warm_start (skips the per-frame DLT eigh/svd)
+    quat: jnp.ndarray  # (4,) wxyz
+    trans: jnp.ndarray  # (3,)
+    pose_ok: jnp.ndarray  # () bool
 
 
 class FrameResult(NamedTuple):
@@ -175,8 +180,12 @@ def _build_video_runner(
 
         # ---- structure prior ------------------------------------------------
         valid = jnp.all(carry.detected_kps > KP_SENTINEL, axis=1)
-        ok, repro = pnp.pnp_reprojection_prior(
-            prev_x3d, carry.detected_kps, next_x3d, K_cam, valid
+        warm = (
+            (carry.quat, carry.trans, carry.pose_ok)
+            if cfg.infer.pnp_warm_start else None
+        )
+        ok, repro, pose = pnp.pnp_reprojection_prior(
+            prev_x3d, carry.detected_kps, next_x3d, K_cam, valid, init=warm
         )
         # PnP failure -> reuse previous detections (is_pnp fallback)
         repro = jnp.where(ok, repro, carry.detected_kps)
@@ -218,6 +227,9 @@ def _build_video_runner(
             pre_img=cur_img,
             detected_kps=detected,
             frame_idx=carry.frame_idx + 1,
+            quat=pose.quat,
+            trans=pose.trans,
+            pose_ok=pose.success,
         )
         return new_carry, FrameResult(detected_kps=detected, scores=scores)
 
@@ -234,6 +246,9 @@ def _build_video_runner(
             pre_img=jnp.zeros_like(video.images[0]),
             detected_kps=init_kps,
             frame_idx=jnp.int32(0),
+            quat=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+            trans=jnp.zeros(3, jnp.float32),
+            pose_ok=jnp.bool_(False),
         )
         _, results = jax.lax.scan(frame_step, init, (video.images, prev_x3d, video.x3d))
         return results
@@ -304,13 +319,14 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
     def frame_step(carry, inp):
-        pre_feats, detected_kps, frame_idx = carry
+        pre_feats, detected_kps, frame_idx, pq, pt, pok = carry
         cur_img, prev_x3d, next_x3d = inp
         first = frame_idx == 0
 
         valid = jnp.all(detected_kps > KP_SENTINEL, axis=1)
-        ok, repro = pnp.pnp_reprojection_prior(
-            prev_x3d, detected_kps, next_x3d, K_cam, valid
+        warm = (pq, pt, pok) if cfg.infer.pnp_warm_start else None
+        ok, repro, pose = pnp.pnp_reprojection_prior(
+            prev_x3d, detected_kps, next_x3d, K_cam, valid, init=warm
         )
         repro = jnp.where(ok, repro, detected_kps)
         any_valid = jnp.any(valid)
@@ -344,7 +360,10 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
         detected = jnp.where(keep[:, None], raw_kps, KP_SENTINEL)
         scores = jnp.where(keep, dec.scores, -1.0)
 
-        new_carry = (list(cur_feats), detected, frame_idx + 1)
+        new_carry = (
+            list(cur_feats), detected, frame_idx + 1,
+            pose.quat, pose.trans, pose.success,
+        )
         return new_carry, FrameResult(detected_kps=detected, scores=scores)
 
     def run_video(video: VideoFrames) -> FrameResult:
@@ -359,7 +378,11 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
                       feat_dt)
             for i in range(6)
         ]
-        init = (init_feats, init_kps, jnp.int32(0))
+        init = (
+            init_feats, init_kps, jnp.int32(0),
+            jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.bool_(False),
+        )
         _, results = jax.lax.scan(
             frame_step, init, (video.images, prev_x3d, video.x3d)
         )

@@ -120,7 +120,7 @@ def test_pnp_reprojection_prior(rng):
     """Structure prior: pose from prev frame reprojects next frame's points."""
     q, t, x3d, x2d = make_pose(rng)
     next_x3d = x3d + rng.randn(7, 3).astype(np.float32) * 0.02
-    ok, next_est = pnp.pnp_reprojection_prior(
+    ok, next_est, _ = pnp.pnp_reprojection_prior(
         jnp.asarray(x3d), jnp.asarray(x2d), jnp.asarray(next_x3d), K
     )
     assert bool(ok)
@@ -146,3 +146,35 @@ def test_noised_pnp_prior_shapes(rng):
     if kept.any():
         # kept points are jittered GT
         assert np.abs(no[kept] - x2d[kept]).max() < 10.0
+
+
+def test_solve_pnp_warm_start_matches_fresh(rng):
+    """Warm-starting LM from a near-solution pose lands in the same optimum
+    as the fresh DLT init (same objective + gate), and a use_init=False warm
+    tuple falls back to the DLT path exactly."""
+    q, t, x3d, x2d = make_pose(rng)
+    fresh = pnp.solve_pnp(jnp.asarray(x3d), jnp.asarray(x2d), K)
+    assert bool(fresh.success)
+
+    q0 = q + rng.randn(4).astype(np.float32) * 0.02
+    q0 /= np.linalg.norm(q0)
+    t0 = t + rng.randn(3).astype(np.float32) * 0.02
+    warm = pnp.solve_pnp(
+        jnp.asarray(x3d), jnp.asarray(x2d), K,
+        init=(jnp.asarray(q0), jnp.asarray(t0), jnp.bool_(True)),
+    )
+    assert bool(warm.success)
+    qd = min(
+        np.linalg.norm(np.asarray(warm.quat) - np.asarray(fresh.quat)),
+        np.linalg.norm(np.asarray(warm.quat) + np.asarray(fresh.quat)),
+    )
+    assert qd < 5e-3
+    np.testing.assert_allclose(
+        np.asarray(warm.trans), np.asarray(fresh.trans), atol=5e-3
+    )
+
+    cold = pnp.solve_pnp(
+        jnp.asarray(x3d), jnp.asarray(x2d), K,
+        init=(jnp.asarray(q0), jnp.asarray(t0), jnp.bool_(False)),
+    )
+    np.testing.assert_allclose(np.asarray(cold.quat), np.asarray(fresh.quat), atol=1e-6)
