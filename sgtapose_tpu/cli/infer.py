@@ -111,6 +111,8 @@ def list_synthetic_videos(dataset_dir: str) -> Dict[str, List[str]]:
 
 
 def run_synthetic(args, cfg: Config, model, variables):
+    from sgtapose_tpu.utils.profiling import StageTimer
+
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     kp_names = KEYPOINT_NAMES[args.robot]
     object_name = args.object_name or args.robot
@@ -124,26 +126,29 @@ def run_synthetic(args, cfg: Config, model, variables):
     run = None
     raw_hw = None
     t_total, n_frames = 0.0, 0
+    timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
     for vname in names:
         frames = videos[vname]
         imgs, projs, pos_cam, x3d_rob = [], [], [], []
-        for f in frames:
-            img = loaders.load_image(os.path.join(args.dataset, vname, f + "_color.png"))
-            kp = loaders.load_seq_keypoints(
-                os.path.join(args.dataset, vname, f + "_meta.json"),
-                object_name, kp_names, camera_K,
-            )
-            imgs.append(img)
-            projs.append(kp["projections"])
-            pos_cam.append(kp["positions_wrt_cam"])
-            x3d_rob.append(kp["positions_wrt_robot"])
+        with timer.stage("load"):
+            for f in frames:
+                img = loaders.load_image(os.path.join(args.dataset, vname, f + "_color.png"))
+                kp = loaders.load_seq_keypoints(
+                    os.path.join(args.dataset, vname, f + "_meta.json"),
+                    object_name, kp_names, camera_K,
+                )
+                imgs.append(img)
+                projs.append(kp["projections"])
+                pos_cam.append(kp["positions_wrt_cam"])
+                x3d_rob.append(kp["positions_wrt_robot"])
         imgs_np = np.stack(imgs)
         imgs = jnp.asarray(imgs_np)
         if raw_hw is None:
             raw_hw = (imgs.shape[1], imgs.shape[2])
             run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
         t0 = time.perf_counter()
-        det_v = run(imgs_np, np.stack(x3d_rob))
+        with timer.stage("detect"):
+            det_v = run(imgs_np, np.stack(x3d_rob))
         t_total += time.perf_counter() - t0
         n_frames += len(frames)
 
@@ -152,6 +157,8 @@ def run_synthetic(args, cfg: Config, model, variables):
         all_pos.append(np.stack(pos_cam))
         sample_names += [f"{vname}/{f}" for f in frames]
         print(f"{vname}: {len(frames)} frames")
+    print("stage times (s/video):",
+          {k: round(v, 3) for k, v in timer.summary().items()})
 
     det = np.concatenate(all_det)
     gt = np.concatenate(all_gt)
