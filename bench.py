@@ -92,12 +92,18 @@ def main():
 
     extras = {}
     if not args.quick:
-        # feature-cache fast path (one trunk pass/frame; infer/detector.py)
+        # feature-cache + warm-start-PnP fast paths combined
+        # (infer/detector.py; docs/PERF.md documents both deviations)
+        import dataclasses
+
+        fast_cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(cfg.infer, pnp_warm_start=True)
+        )
         cached = det_lib.make_cached_video_detector(
-            model, variables, cfg, synthetic.camera_K(),
+            model, variables, fast_cfg, synthetic.camera_K(),
             raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
         )
-        extras["fps_feature_cache"] = round(timed_fps(cached, video, T, reps=2), 2)
+        extras["fps_fast_path"] = round(timed_fps(cached, video, T, reps=2), 2)
 
     if args.full:
         # batched multi-video (production fill; videos are independent)
