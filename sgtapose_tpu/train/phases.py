@@ -46,8 +46,8 @@ def model_inputs(phase: str, batch: Dict) -> Tuple:
             batch["repro_hm"],
         )
     if phase in ("ablation_shared", "ablation_wo_shared"):
-        # ablation archs take (cur, pre, pre_hm, repro_hm) positionally but
-        # ignore repro in these modes; feed zeros-like repro for arity
+        # our ablation module takes (cur, pre, pre_hm, repro_hm) positionally
+        # and ignores repro_hm in these modes (the reference passes 3 args)
         return (
             batch["cur_img"], batch["pre_img"], batch["pre_hm"],
             batch["repro_hm"],
