@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--multi_frame", type=int, default=0,
                    help="sliding-window multiframe PnP size (0 = off)")
     p.add_argument("--max_videos", type=int, default=None)
+    p.add_argument("--ref_sort", default="score", choices=["score", "y"],
+                   help="peak ambiguity ordering; 'y' reproduces the "
+                        "reference's exact behavior for parity evals")
     p.add_argument("--phase", default=None,
                    help="inference phase/arch family (default: PlanA_win, or "
                         "Dream when --is_ct false); see train/phases.py")
@@ -323,6 +326,8 @@ def run_depth(args, cfg: Config, model, variables):
 def main(argv=None):
     args = parse_args(argv)
     num_classes = 42 if args.depth else len(KEYPOINT_NAMES[args.robot])
+    from sgtapose_tpu.config import InferConfig
+
     cfg = Config(
         model=ModelConfig(
             arch=args.arch,
@@ -331,6 +336,7 @@ def main(argv=None):
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
         ),
+        infer=InferConfig(ref_sort=args.ref_sort),
         robot=args.robot,
     )
     if args.phase is None:

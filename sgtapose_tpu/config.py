@@ -138,6 +138,10 @@ class InferConfig:
     max_peaks: int = 8  # static candidate-peak budget per class
     lm_refine: bool = True  # --rf weighted LM pose refinement
     sentinel: float = -999.999  # missing-detection marker (ref semantics)
+    # peak ambiguity ordering: "score" (the evident intent) or "y" (the
+    # reference's exact sort-by-subpixel-y behavior — use for checkpoint-
+    # parity evaluation; see decode/peaks.py module docstring)
+    ref_sort: str = "score"
     # streaming fast path: warm-start the per-frame prior PnP from the
     # previous frame's solved pose instead of a fresh DLT (eigh/svd) init
     # (same objective + success gate; the reference re-inits via cv2 EPnP

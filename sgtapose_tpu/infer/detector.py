@@ -215,6 +215,7 @@ def _build_video_runner(
             ambiguity_gap=cfg.infer.ambiguity_gap,
             peak_offset=cfg.infer.peak_offset,
             sigma=cfg.infer.peak_sigma,
+            ref_sort=cfg.infer.ref_sort,
         )
 
         # ---- back to raw coords + thresholds --------------------------------
@@ -354,6 +355,7 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
             ambiguity_gap=cfg.infer.ambiguity_gap,
             peak_offset=cfg.infer.peak_offset,
             sigma=cfg.infer.peak_sigma,
+            ref_sort=cfg.infer.ref_sort,
         )
         raw_kps = geometry.affine_points(dec.coords, trans_output_inv)
         keep = dec.valid & (dec.scores > cfg.infer.out_thresh)

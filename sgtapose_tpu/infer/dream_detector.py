@@ -45,6 +45,7 @@ def make_dream_detector(model_apply, variables, cfg: Config, raw_wh: Tuple[int, 
                 peak_offset=cfg.infer.peak_offset,
                 sigma=cfg.infer.peak_sigma,
                 use_reg=False,
+                ref_sort=cfg.infer.ref_sort,
             )
 
         dec = jax.vmap(decode_one)(hm)
