@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
 import time
 
 import jax
@@ -38,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--eval_videos", type=int, default=4)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=317)
+    p.add_argument("--ckpt_out", default=None,
+                   help="save the trained state (orbax) for offline evals")
     return p.parse_args(argv)
 
 
@@ -70,6 +73,9 @@ def main(argv=None):
                 + f"  ({(time.time()-t0):.0f}s)"
             )
     print(f"training done in {time.time()-t0:.0f}s")
+    if args.ckpt_out:
+        trainer.save_checkpoint(os.path.abspath(args.ckpt_out), state)
+        print(f"saved checkpoint -> {args.ckpt_out}")
 
     # ---- streaming eval on held-out synthetic videos -------------------------
     model = create_model(cfg.model)
