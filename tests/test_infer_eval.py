@@ -293,3 +293,42 @@ def test_dream_detector_runs():
         # found keypoints must land inside the raw frame's cropped region
         assert kps[..., 0][found].min() >= 100.0  # 140px gap minus sub-pixel
         assert kps[..., 0][found].max() < 540.0
+
+
+@pytest.mark.slow
+def test_batched_video_detector_matches_single():
+    """vmap-over-scan batched detector: each video's results equal the
+    single-video runner's on identical inputs."""
+    model = create_model(TINY.model)
+    T, NV = 2, 2
+    _, imgs = synthetic.make_sequence(jax.random.PRNGKey(0), T)
+    images, _, _ = det_lib.preprocess_frames(imgs, TINY)
+    x3d = jnp.tile(synthetic.SKELETON[None], (T, 1, 1))
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        images[:1], images[:1],
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 16, 16, 7)), jnp.zeros((1, 16, 16, 7)),
+        train=False,
+    )
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    single = det_lib.make_video_detector(
+        apply, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )(det_lib.VideoFrames(images=images, x3d=x3d))
+
+    batched = det_lib.make_batched_video_detector(
+        apply, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+    )(det_lib.VideoFrames(
+        images=jnp.broadcast_to(images, (NV,) + images.shape),
+        x3d=jnp.broadcast_to(x3d, (NV,) + x3d.shape),
+    ))
+    for v in range(NV):
+        np.testing.assert_allclose(
+            np.asarray(batched.detected_kps[v]),
+            np.asarray(single.detected_kps), atol=1e-4,
+        )
