@@ -69,8 +69,8 @@ def parse_args(argv=None):
                    help="bfloat16 model compute with f32 master params")
     p.add_argument("--phase", default="PlanA_win",
                    help="training phase (train/phases.py PHASES): PlanA_win | "
-                        "PlanA | PlanACAT | ablation_* | CenterTrack | "
-                        "CenterNet | Dream")
+                        "PlanA_three | PlanA | PlanACAT | ablation_* | "
+                        "CenterTrack | CenterNet | Dream")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--image_log_every", type=int, default=250,
@@ -118,7 +118,15 @@ def main(argv=None):
     print(f"devices={n_dev} global_batch={global_batch}")
 
     # dataset discovery (+ optional concat, ref train.py:193-202)
-    discover = find_depth_seq_data_in_dir if args.depth else find_ndds_seq_data_in_dir
+    three = args.phase == "PlanA_three"
+    if args.depth:
+        discover = find_depth_seq_data_in_dir
+    elif three:
+        from sgtapose_tpu.data.discovery import find_ndds_seq_triples_in_dir
+
+        discover = find_ndds_seq_triples_in_dir
+    else:
+        discover = find_ndds_seq_data_in_dir
     pairs = discover(args.dataset)
     if args.add_dataset:
         pairs = pairs + discover(args.add_dataset)
@@ -129,7 +137,12 @@ def main(argv=None):
     kp_names = [] if args.depth else KEYPOINT_NAMES[args.robot]
     if args.depth:
         object_name = args.object_name or "Franka_Emika_Panda"
-    loader = SeqBatchLoader(
+    loader_cls = SeqBatchLoader
+    if three:
+        from sgtapose_tpu.data.loader import TripleBatchLoader
+
+        loader_cls = TripleBatchLoader
+    loader = loader_cls(
         pairs, cfg, camera_K, object_name,
         kp_names, global_batch, seed=args.seed,
         num_workers=args.num_workers, depth=args.depth,
@@ -137,7 +150,7 @@ def main(argv=None):
     val_loader = None
     if args.val_dataset:
         val_pairs = discover(args.val_dataset)
-        val_loader = SeqBatchLoader(
+        val_loader = loader_cls(
             val_pairs, cfg, camera_K, object_name, kp_names,
             global_batch, shuffle=False, num_workers=args.num_workers,
             depth=args.depth,
@@ -152,7 +165,12 @@ def main(argv=None):
         state = trainer.load_checkpoint(os.path.abspath(args.resume), state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    batch_fn = make_batch_fn(cfg, camera_K)
+    if three:
+        from sgtapose_tpu.data.pipeline import make_batch_fn_three
+
+        batch_fn = make_batch_fn_three(cfg, camera_K)
+    else:
+        batch_fn = make_batch_fn(cfg, camera_K)
     pstep = trainer.make_parallel_train_step(
         mesh,
         bf16=args.bf16,

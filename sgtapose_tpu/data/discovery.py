@@ -122,3 +122,38 @@ def find_depth_seq_data_in_dir(input_dir: str) -> List[FramePair]:
             )
         )
     return pairs
+
+
+@dataclass(frozen=True)
+class FrameTriple:
+    """Three consecutive frames (ref CenterTrackThreeDataset,
+    datasets.py:215-440: ppre -> pre -> next)."""
+
+    ppre_img_path: str
+    ppre_data_path: str
+    pre_img_path: str
+    pre_data_path: str
+    next_img_path: str
+    next_data_path: str
+
+
+def find_ndds_seq_triples_in_dir(input_dir: str) -> List[FrameTriple]:
+    """Consecutive frame TRIPLES per video for 3-frame training (ref
+    CenterTrackThreeDataset). Reuses the pair discovery's ordering and
+    gap rules: a triple exists where (i, i+1) and (i+1, i+2) are both
+    consecutive pairs."""
+    pairs = find_ndds_seq_data_in_dir(input_dir)
+    by_next = {p.next_name: p for p in pairs}
+    triples: List[FrameTriple] = []
+    for p in pairs:
+        q = by_next.get(p.prev_name)
+        if q is None:
+            continue
+        triples.append(
+            FrameTriple(
+                q.prev_img_path, q.prev_data_path,
+                p.prev_img_path, p.prev_data_path,
+                p.next_img_path, p.next_data_path,
+            )
+        )
+    return triples

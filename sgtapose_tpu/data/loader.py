@@ -163,3 +163,38 @@ class SeqBatchLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class TripleBatchLoader(SeqBatchLoader):
+    """Three-frame batches (RawSampleThree) for PlanA_three training
+    (ref CenterTrackThreeDataset, datasets.py:215-440). Reuses the pair
+    loader's epoch machinery; only the per-sample load and collate change."""
+
+    def _load_one(self, triple):
+        from sgtapose_tpu.data.pipeline import RawSampleThree
+
+        kp = lambda path: load_seq_keypoints(
+            path, self.robot_name, self.keypoint_names, self.camera_K
+        )
+        ppre_kp = kp(triple.ppre_data_path)
+        pre_kp = kp(triple.pre_data_path)
+        next_kp = kp(triple.next_data_path)
+        return RawSampleThree(
+            ppre_img=load_image(triple.ppre_img_path),
+            pre_img=load_image(triple.pre_img_path),
+            next_img=load_image(triple.next_img_path),
+            ppre_projs=ppre_kp["projections"].astype(np.float32),
+            pre_projs=pre_kp["projections"].astype(np.float32),
+            next_projs=next_kp["projections"].astype(np.float32),
+            ppre_x3d_rob=ppre_kp["positions_wrt_robot"].astype(np.float32),
+            pre_x3d_rob=pre_kp["positions_wrt_robot"].astype(np.float32),
+            next_x3d_rob=next_kp["positions_wrt_robot"].astype(np.float32),
+        )
+
+    def _collate(self, samples):
+        from sgtapose_tpu.data.pipeline import RawSampleThree
+
+        return RawSampleThree(
+            *(np.stack([getattr(s, f) for s in samples])
+              for f in RawSampleThree._fields)
+        )

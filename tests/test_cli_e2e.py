@@ -202,6 +202,32 @@ def test_train_then_infer_global_attention_arch(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_three_frame_phase(tmp_path):
+    """--phase PlanA_three trains the 3-frame arch end-to-end from the CLI
+    (triple discovery + TripleBatchLoader + make_batch_fn_three)."""
+    train_dir = str(tmp_path / "train_data")
+    out_dir = str(tmp_path / "exp")
+    write_synthetic_dataset(train_dir, n_videos=1, n_frames=4, seed=0)
+
+    from sgtapose_tpu.cli import train as train_cli
+
+    train_cli.main(
+        [
+            "--dataset", train_dir,
+            "--output_dir", out_dir,
+            "--phase", "PlanA_three",
+            "--arch", "dlapawd3_34",
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+        ]
+        + COMMON
+    )
+    assert os.path.isdir(os.path.join(out_dir, "ckpt", "epoch_1"))
+
+
+@pytest.mark.slow
 def test_train_depth_mode(tmp_path):
     """--depth training: 42-joint flat-directory dataset end-to-end
     (ref CenterTrackSeqDepthDataset, datasets.py:445-635)."""
