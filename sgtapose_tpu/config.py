@@ -61,9 +61,12 @@ SYNTHETIC_CAMERA_K = (
     (0.0, 0.0, 1.0),
 )
 
-# ImageNet normalization used by the reference dataloader
-IMAGE_MEAN = (0.485, 0.456, 0.406)
-IMAGE_STD = (0.229, 0.224, 0.225)
+# Image normalization: the reference uses mean=std=0.5 for BOTH training
+# (ref sgtapose/train.py:211 image_normalization) and inference
+# (ref lib/sgta_detector.py:58-59) — NOT ImageNet stats. Matching it is
+# required for converted reference checkpoints to run correctly.
+IMAGE_MEAN = (0.5, 0.5, 0.5)
+IMAGE_STD = (0.5, 0.5, 0.5)
 
 
 @dataclass(frozen=True)

@@ -37,11 +37,24 @@ def camera_K() -> jnp.ndarray:
 
 
 def random_pose(rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Camera-from-robot pose with the robot in front of the camera."""
+    """Camera-from-robot pose with the robot in front of the camera.
+
+    The translation is chosen so the SKELETON's centroid (not its base) sits
+    on the optical axis at ~2.15-2.65 m: with the arm spanning ~±0.55 m of
+    its centroid this keeps all keypoints inside the 640x360 frame for the
+    vast majority of poses (the previous base-anchored 1.8 m placement left
+    the distal 3 keypoints out of frame in 33-46% of poses, starving both
+    training and PnP of those classes)."""
     k1, k2 = jax.random.split(rng)
     q = jax.random.normal(k1, (4,))
     q = q / jnp.linalg.norm(q)
-    t = jnp.array([0.0, 0.0, 1.8]) + jax.random.uniform(k2, (3,), minval=-0.25, maxval=0.25)
+    centroid = jnp.mean(SKELETON, axis=0)
+    R = geometry.quat_to_matrix(q)
+    depth = jnp.array([0.0, 0.0, 2.4]) + jax.random.uniform(
+        k2, (3,), minval=-0.25, maxval=0.25
+    ) * jnp.array([2.6, 2.8, 1.0])  # lateral spread leaves ~5-10% of distal
+    # keypoints out of frame so the clip/missing-detection paths stay exercised
+    t = depth - R @ centroid
     return q, t
 
 
@@ -54,15 +67,24 @@ def render_frame(projs: jnp.ndarray) -> jnp.ndarray:
     per = geometry.render_gaussian_heatmap(
         projs, conf, RAW_H, RAW_W, radius=8, sigma=3.0, per_class=True
     )
-    # color-code keypoints so the net can tell them apart
-    colors = jnp.stack(
+    # color-code keypoints so the net can tell them apart: maximally
+    # separated RGB corners (a hue ramp left adjacent classes too similar
+    # for shallow/frozen-trunk probes to distinguish)
+    palette = jnp.array(
         [
-            jnp.linspace(60, 255, n),
-            jnp.linspace(255, 60, n),
-            jnp.full((n,), 160.0),
+            [255.0, 40.0, 40.0],
+            [40.0, 255.0, 40.0],
+            [40.0, 80.0, 255.0],
+            [255.0, 255.0, 40.0],
+            [255.0, 40.0, 255.0],
+            [40.0, 255.0, 255.0],
+            [255.0, 255.0, 255.0],
+            [255.0, 140.0, 40.0],
+            [140.0, 40.0, 255.0],
         ],
-        axis=1,
-    )  # (n, 3)
+        jnp.float32,
+    )
+    colors = palette[:n]  # (n, 3); robots here have <= 9 keypoints
     img = jnp.einsum("khw,kc->hwc", per, colors)
     return jnp.clip(img + 20.0, 0.0, 255.0)
 
