@@ -195,10 +195,45 @@ def ensure_ref_detector_importable():
     _stub_module("ruamel.yaml", YAML=_JsonYAML)
     sys.modules["ruamel"].yaml = sys.modules["ruamel.yaml"]
 
-    class _Quat:  # pyrr.Quaternion stand-in (unused on the run path)
+    class _Quat:
+        """pyrr.Quaternion stand-in implementing the subset the reference's
+        geometric_vision uses (convert_rvec_to_quaternion + matrix33 at
+        geometric_vision.py:16-28, :262-264). Convention check: the
+        composition from_axis_rotation(rvec) -> .matrix33 -> transform @
+        column-vectors must reproduce cv2.Rodrigues' rotation (otherwise the
+        reference's repro prior — the core of the method — would misproject;
+        test_parity_dataset verifies next_est == GT next projections at
+        disturb=0 end-to-end)."""
+
+        def __init__(self, xyzw):
+            self._q = np.asarray(xyzw, np.float64)
+
         @staticmethod
-        def from_axis_rotation(*a, **k):
-            raise NotImplementedError("pyrr stub")
+        def from_axis_rotation(axis, theta):
+            axis = np.asarray(axis, np.float64)
+            axis = axis / np.linalg.norm(axis)
+            s = np.sin(theta / 2.0)
+            return _Quat([axis[0] * s, axis[1] * s, axis[2] * s,
+                          np.cos(theta / 2.0)])
+
+        def normalize(self):
+            self._q = self._q / np.linalg.norm(self._q)
+            return self
+
+        @property
+        def matrix33(self):
+            x, y, z, w = self._q
+            return np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ])
+
+        def __iter__(self):  # list(quaternion) -> [x, y, z, w]
+            return iter(self._q.tolist())
+
+        def __getitem__(self, i):
+            return self._q[i]
 
     _stub_module("pyrr", Quaternion=_Quat)
     tfs = _stub_module("transforms3d")
@@ -229,6 +264,125 @@ def ensure_ref_detector_importable():
     from lib.sgta_detector import SGTADetector  # noqa: E402
 
     return SGTADetector
+
+
+def install_torchvision_models():
+    """Give the torchvision stub REAL torch implementations of the two models
+    the reference's hourglass.py instantiates (resnet101 at :102, vgg19
+    .features at :270), structurally identical to torchvision's (same module
+    tree and state_dict names) so reference DREAM-baseline checkpoints load
+    and convert. pretrained weights are unavailable offline; both accept and
+    ignore the pretrained flag (random init, like `pretrained=False`)."""
+    ensure_ref_importable()
+    import torch
+    import torch.nn as nn
+
+    tv_m = sys.modules["torchvision.models"]
+    if hasattr(tv_m, "resnet101"):
+        return tv_m
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, layers):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, layers[0])
+            self.layer2 = self._make_layer(128, layers[1], stride=2)
+            self.layer3 = self._make_layer(256, layers[2], stride=2)
+            self.layer4 = self._make_layer(512, layers[3], stride=2)
+
+        def _make_layer(self, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            for _ in range(1, blocks):
+                layers.append(Bottleneck(self.inplanes, planes))
+            return nn.Sequential(*layers)
+
+    def resnet101(pretrained=False, **kw):
+        return ResNet([3, 4, 23, 3])
+
+    VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                 512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+    class VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = []
+            in_c = 3
+            for v in VGG19_CFG:
+                if v == "M":
+                    layers.append(nn.MaxPool2d(2, 2))
+                else:
+                    layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+                    layers.append(nn.ReLU(inplace=True))
+                    in_c = v
+            self.features = nn.Sequential(*layers)
+
+    def vgg19(pretrained=False, **kw):
+        return VGG()
+
+    tv_m.resnet101 = resnet101
+    tv_m.vgg19 = vgg19
+    return tv_m
+
+
+def ref_hourglass_module():
+    """Import the reference's hourglass.py (DreamHourglass / ResnetSimple)
+    with the real-math torchvision model stubs installed."""
+    install_torchvision_models()
+    from lib.model.networks import hourglass  # noqa: E402
+
+    return hourglass
+
+
+def ref_datasets_module():
+    """Load the reference's datasets.py (CenterTrackSeqDataset etc.) with the
+    real utilities/geometric_vision backing the fake `sgtapose` package.
+    albumentations isn't installed; datasets.py imports it at module level but
+    the seq datasets never use it, so an empty stub suffices."""
+    ensure_ref_detector_importable()
+    _stub_module("albumentations")
+    fake = sys.modules["sgtapose"]
+    if not hasattr(fake, "datasets"):
+        fake.datasets = _load_standalone(
+            "_ref_datasets", os.path.join(REF_ROOT, "datasets.py")
+        )
+    return fake.datasets
 
 
 def make_detector_opt(input_res=480, **overrides):

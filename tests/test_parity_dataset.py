@@ -1,0 +1,201 @@
+"""Dataset-construction parity against the LIVING reference dataset class.
+
+Instantiates the reference `CenterTrackSeqDataset`
+(ref sgtapose/datasets.py:21-213) on a `write_synthetic_dataset` directory
+with disturb=0 and a PINNED affine (the random `_get_aug_param` is stubbed to
+the identity: center crop, scale 1.0 — exactly our `augment=False` path), and
+compares every emitted tensor against `data/pipeline.py:augment_and_render`
+run on the same frame pair (VERDICT r2 item 3).
+
+Intentional deviation covered by tolerance: the prior-PnP solver (reference
+cv2 EPnP+ITERATIVE vs our DLT+LM) — on exact GT correspondences both recover
+the pose to sub-1e-3-px reprojection, so the rendered prior maps agree to
+~1e-3.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sgtapose_tpu.config import Config, ModelConfig, TrainConfig  # noqa: E402
+from sgtapose_tpu.data import loaders, pipeline, synthetic  # noqa: E402
+
+import ref_oracle  # noqa: E402
+
+KP_NAMES = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
+RES = 480
+OUT = RES // 4
+
+
+class _PinnedOpt:
+    input_w = input_h = RES
+    output_w = output_h = OUT
+    phase = "PlanA_win"
+    hm_disturb = 0.0
+    lost_disturb = 0.0
+
+
+@pytest.fixture(scope="module")
+def ref_dataset(tmp_path_factory):
+    datasets = ref_oracle.ref_datasets_module()
+    import sys
+
+    utilities = sys.modules["sgtapose"].utilities
+
+    tmp = str(tmp_path_factory.mktemp("dsparity"))
+    synthetic.write_synthetic_dataset(tmp, n_videos=1, n_frames=4, seed=5)
+
+    # pin the random augmentation to identity (center, scale 1.0): the
+    # reference always augments (utilities.py:861-868 _get_aug_param), so
+    # determinism requires stubbing it — this is the disturb=0 fixed-affine
+    # configuration the parity comparison is defined on
+    orig = utilities._get_aug_param
+    utilities._get_aug_param = lambda c, s, w, h, disturb=False: (c, 1.0)
+    try:
+        data = utilities.find_ndds_seq_data_in_dir(tmp, is_ct=True)
+        ds = datasets.CenterTrackSeqDataset(
+            data,
+            "panda_synthetic",
+            KP_NAMES,
+            _PinnedOpt(),
+            mean=(0.5, 0.5, 0.5),
+            std=(0.5, 0.5, 0.5),
+            include_ground_truth=True,
+            include_belief_maps=True,
+            seq_frame=3,
+        )
+        samples = [ds[i] for i in range(len(ds))]
+    finally:
+        utilities._get_aug_param = orig
+    return samples
+
+
+def _ours_from_paths(prev_img_path, next_img_path):
+    """Run our on-device batch construction on the same frame pair the
+    reference sample used (paths taken from the reference sample so the
+    seq_frame=3 window remap is exercised identically)."""
+    prev_meta = prev_img_path.replace("_color.png", "_meta.json")
+    next_meta = next_img_path.replace("_color.png", "_meta.json")
+    K = np.asarray(synthetic.SYNTHETIC_CAMERA_K)
+    prev_kp = loaders.load_seq_keypoints(prev_meta, "panda_synthetic", KP_NAMES, K)
+    next_kp = loaders.load_seq_keypoints(next_meta, "panda_synthetic", KP_NAMES, K)
+
+    cfg = Config(
+        model=ModelConfig(input_res=(RES, RES)),
+        train=TrainConfig(hm_disturb=0.0, lost_disturb=0.0, fp_disturb=0.0),
+    )
+    sample = pipeline.RawSample(
+        prev_img=jnp.asarray(loaders.load_image(prev_img_path)),
+        next_img=jnp.asarray(loaders.load_image(next_img_path)),
+        prev_projs=jnp.asarray(prev_kp["projections"], jnp.float32),
+        next_projs=jnp.asarray(next_kp["projections"], jnp.float32),
+        prev_x3d_rob=jnp.asarray(prev_kp["positions_wrt_robot"], jnp.float32),
+        next_x3d_rob=jnp.asarray(next_kp["positions_wrt_robot"], jnp.float32),
+    )
+    out = pipeline.augment_and_render(
+        jax.random.PRNGKey(0), sample, jnp.asarray(K, jnp.float32), cfg,
+        augment=False,
+    )
+    return {k: np.asarray(v) for k, v in out.items()}, prev_kp, next_kp
+
+
+def _nchw_to_nhwc_rgb(img_chw_bgr):
+    """reference image tensor (3,H,W) BGR -> (H,W,3) RGB numpy."""
+    a = np.transpose(np.asarray(img_chw_bgr), (1, 2, 0))
+    return a[..., ::-1]
+
+
+def test_sample_count_and_window_remap(ref_dataset):
+    # 4-frame video -> 3 consecutive pairs; the seq_frame=3 remap rewires
+    # frame-3 pairs to (0, 2) (ref datasets.py:63-91)
+    assert len(ref_dataset) == 3
+    for s in ref_dataset:
+        assert os.path.exists(s["prev_image_raw_path"])
+        assert os.path.exists(s["next_image_raw_path"])
+
+
+@pytest.mark.parametrize("idx", [0, 1, 2])
+def test_tensor_parity(ref_dataset, idx):
+    ref = ref_dataset[idx]
+    ours, prev_kp, next_kp = _ours_from_paths(
+        ref["prev_image_raw_path"], ref["next_image_raw_path"]
+    )
+
+    # --- keypoint loader agreement (positions + projections) ---------------
+    for key, ours_kp in (
+        ("prev_keypoint_positions_wrt_cam", prev_kp["positions_wrt_cam"]),
+        ("prev_keypoint_positions_wrt_robot", prev_kp["positions_wrt_robot"]),
+        ("next_keypoint_positions_wrt_cam", next_kp["positions_wrt_cam"]),
+        ("next_keypoint_positions_wrt_robot", next_kp["positions_wrt_robot"]),
+    ):
+        np.testing.assert_allclose(
+            ref[key].numpy(), ours_kp, atol=1e-5, err_msg=key
+        )
+
+    # --- warped + normalized input images ----------------------------------
+    # cv2.warpAffine emits quantized uint8 before normalization; ours warps in
+    # float. One uint8 step = 2/255 neighborhood in (x-0.5)/0.5 units.
+    for ref_key, our_key in (
+        ("prev_image_rgb_input", "pre_img"),
+        ("next_image_rgb_input", "cur_img"),
+    ):
+        ref_img = _nchw_to_nhwc_rgb(ref[ref_key].numpy())
+        diff = np.abs(ref_img - ours[our_key])
+        assert diff.max() < 0.05 and diff.mean() < 2e-3, (
+            ref_key, diff.max(), diff.mean()
+        )
+
+    # --- output-space keypoints, int coords, reg/tracking targets ----------
+    ref_out = ref["next_keypoint_projections_output"].numpy()
+    ref_int = ref["next_keypoint_projections_output_int"].numpy()
+    np.testing.assert_allclose(
+        ref_int, ours["kp_int"].astype(ref_int.dtype), atol=0, err_msg="kp_int"
+    )
+    np.testing.assert_allclose(
+        ref["reg"].numpy(), ours["reg_target"], atol=1e-4, err_msg="reg"
+    )
+    np.testing.assert_allclose(
+        ref["tracking"].numpy(), ours["tracking_target"], atol=1e-4,
+        err_msg="tracking",
+    )
+
+    # --- GT belief maps (output res) ---------------------------------------
+    ref_gt = ref["next_belief_maps"].numpy()  # (K, Ho, Wo)
+    our_gt = np.moveaxis(ours["gt_belief_maps"], -1, 0)
+    np.testing.assert_allclose(ref_gt, our_gt, atol=1e-5, err_msg="gt maps")
+
+    # --- CenterTrack origin prior (disturb=0 -> noise-free) ----------------
+    np.testing.assert_allclose(
+        ref["prev_origin_belief_maps"].numpy(),
+        ours["pre_origin_hm"][..., 0],
+        atol=1e-5,
+        err_msg="prev_origin",
+    )
+
+    # --- PnP structure priors (solver-dependent: 1e-3 tolerance) -----------
+    for ref_key, our_key in (
+        ("prev_belief_maps", "pre_hm"),
+        ("repro_belief_maps", "repro_hm"),
+    ):
+        np.testing.assert_allclose(
+            ref[ref_key].numpy(),
+            ours[our_key][..., 0],
+            atol=2e-3,
+            err_msg=ref_key,
+        )
+    for ref_key, our_key in (
+        ("prev_belief_maps_cls", "pre_hm_cls"),
+        ("repro_belief_maps_cls", "repro_hm_cls"),
+    ):
+        np.testing.assert_allclose(
+            ref[ref_key].numpy(),
+            np.moveaxis(ours[our_key], -1, 0),
+            atol=2e-3,
+            err_msg=ref_key,
+        )
