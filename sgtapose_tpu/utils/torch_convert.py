@@ -312,6 +312,184 @@ def convert_state_dict(
     return new_params, new_stats, report
 
 
+# -----------------------------------------------------------------------------
+# DREAM baseline converters (ref lib/model/networks/hourglass.py)
+# -----------------------------------------------------------------------------
+
+
+def _deconv_w(w):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> our lhs-dilated conv
+    kernel (kh, kw, in, out), spatially flipped (rot180)."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def _dream_hourglass_map(
+    deconv_decoder: bool = False, full_output: bool = False
+) -> Dict[str, Tuple[str, Optional[callable]]]:
+    """our DreamHourglass param path -> (ref hourglass.py state_dict name,
+    transform). Torch Sequential indices follow the reference's add_module
+    names (VGG feature indices for the encoder, hourglass.py:274-299;
+    0/4/5/6-style indices in the decoder, :383-440)."""
+    m: Dict[str, Tuple[str, Optional[callable]]] = {}
+    enc = [
+        ("layer_0_1_down", [0, 2]),
+        ("layer_0_2_down", [5, 7]),
+        ("layer_0_3_down", [10, 12, 14, 16]),
+        ("layer_0_4_down", [19, 21, 23, 25]),
+        ("layer_0_5_down", [28, 30, 32, 34]),
+    ]
+    for name, idxs in enc:
+        for i, idx in enumerate(idxs):
+            m[f"{name}/conv{i}/kernel"] = (f"{name}.{idx}.weight", _conv)
+            m[f"{name}/conv{i}/bias"] = (f"{name}.{idx}.bias", None)
+    if deconv_decoder:
+        for name, has_conv in (
+            ("deconv_0_4", True), ("deconv_0_3", True),
+            ("deconv_0_2", True), ("deconv_0_1", False),
+        ):
+            m[f"{name}_deconv/kernel"] = (f"{name}.0.weight", _deconv_w)
+            m[f"{name}_deconv/bias"] = (f"{name}.0.bias", None)
+            if has_conv:
+                m[f"{name}_conv/kernel"] = (f"{name}.2.weight", _conv)
+                m[f"{name}_conv/bias"] = (f"{name}.2.bias", None)
+    else:
+        for name in ("upsample_0_4", "upsample_0_3"):
+            m[f"{name}_conv1/kernel"] = (f"{name}.4.weight", _conv)
+            m[f"{name}_conv1/bias"] = (f"{name}.4.bias", None)
+            m[f"{name}_conv2/kernel"] = (f"{name}.6.weight", _conv)
+            m[f"{name}_conv2/bias"] = (f"{name}.6.bias", None)
+        if full_output:
+            for name in ("upsample_0_2", "upsample_0_1"):
+                m[f"{name}_conv1/kernel"] = (f"{name}.2.weight", _conv)
+                m[f"{name}_conv1/bias"] = (f"{name}.2.bias", None)
+                m[f"{name}_conv2/kernel"] = (f"{name}.4.weight", _conv)
+                m[f"{name}_conv2/bias"] = (f"{name}.4.bias", None)
+    for our, idx in (("heads_0_conv1", 0), ("heads_0_conv2", 2),
+                     ("heads_0_out", 4)):
+        m[f"{our}/kernel"] = (f"heads_0.{idx}.weight", _conv)
+        m[f"{our}/bias"] = (f"heads_0.{idx}.bias", None)
+    return m
+
+
+def _resnet_simple_map(
+    full: bool = False, blocks=(3, 4, 23, 3)
+) -> Dict[str, Tuple[str, Optional[callable]]]:
+    """our ResnetSimple param path -> ref state_dict name (torchvision
+    resnet101 trunk names + the upsample Sequential, hourglass.py:97-237)."""
+    m: Dict[str, Tuple[str, Optional[callable]]] = {
+        "conv1/kernel": ("conv1.weight", _conv),
+        "bn1": ("bn1", None),
+    }
+    for L, n in enumerate(blocks, start=1):
+        for b in range(n):
+            pre, ref = f"layer{L}_{b}", f"layer{L}.{b}"
+            for c in (1, 2, 3):
+                m[f"{pre}/conv{c}/kernel"] = (f"{ref}.conv{c}.weight", _conv)
+                m[f"{pre}/bn{c}"] = (f"{ref}.bn{c}", None)
+            if b == 0:
+                m[f"{pre}/downsample_conv/kernel"] = (
+                    f"{ref}.downsample.0.weight", _conv)
+                m[f"{pre}/downsample_bn"] = (f"{ref}.downsample.1", None)
+    for i in range(4):
+        t = i * 3
+        m[f"up{i}_deconv/kernel"] = (f"upsample.{t}.weight", _deconv_w)
+        m[f"up{i}_deconv/bias"] = (f"upsample.{t}.bias", None)
+        m[f"up{i}_bn"] = (f"upsample.{t + 1}", None)
+    if full:
+        m["up4_deconv/kernel"] = ("upsample2.0.weight", _deconv_w)
+        m["up4_deconv/bias"] = ("upsample2.0.bias", None)
+        m["up4_bn"] = ("upsample2.1", None)
+        m["head/kernel"] = ("upsample2.3.weight", _conv)
+        m["head/bias"] = ("upsample2.3.bias", None)
+    else:
+        m["head/kernel"] = ("upsample.12.weight", _conv)
+        m["head/bias"] = ("upsample.12.bias", None)
+    return m
+
+
+def convert_dream_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    params,
+    batch_stats,
+    arch: str = "dreamhourglass",
+    deconv_decoder: bool = False,
+    full_output: bool = False,
+    blocks=(3, 4, 23, 3),
+    bgr_to_rgb: bool = False,
+    strict: bool = True,
+):
+    """Convert a reference DREAM-baseline checkpoint (DreamHourglass /
+    ResnetSimple, ref hourglass.py) onto our Flax trees. Same contract as
+    convert_state_dict. bgr_to_rgb flips the first conv's input channels for
+    checkpoints trained on cv2 BGR frames (this reference's own trainer,
+    datasets.py `_get_input`); the DREAM release trains on PIL RGB, so the
+    default is False."""
+    sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
+    if arch == "dreamhourglass":
+        mapping = _dream_hourglass_map(deconv_decoder, full_output)
+        first_conv = "layer_0_1_down/conv0/kernel"
+    elif arch == "resnetsimple":
+        mapping = _resnet_simple_map(full_output, blocks)
+        first_conv = "conv1/kernel"
+    else:
+        raise ValueError(f"unknown DREAM arch: {arch}")
+
+    used = set()
+    missing, mismatched = [], []
+
+    def lookup(our_path: str, expect_shape):
+        if our_path in mapping:
+            ref, tf = mapping[our_path]
+        else:
+            head, leaf = our_path.rsplit("/", 1)
+            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
+                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
+                ref, tf = mapping[head][0] + "." + suffix, None
+            else:
+                return None
+        if ref not in sd:
+            missing.append((our_path, ref))
+            return None
+        w = sd[ref]
+        if tf is not None:
+            w = tf(w)
+        if bgr_to_rgb and our_path == first_conv:
+            w = w[:, :, ::-1, :]
+        if tuple(w.shape) != tuple(expect_shape):
+            mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
+            return None
+        used.add(ref)
+        return w
+
+    def convert_tree(tree):
+        out = {}
+        for path, leaf in _tree_paths(tree):
+            w = lookup(path, leaf.shape)
+            node = out
+            keys = path.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = (
+                np.asarray(w, np.float32) if w is not None else np.asarray(leaf)
+            )
+        return out
+
+    new_params = convert_tree(params)
+    new_stats = convert_tree(batch_stats)
+    unused = sorted(
+        k for k in sd if k not in used and "num_batches_tracked" not in k
+    )
+    report = {
+        "missing": missing,
+        "mismatched": mismatched,
+        "unused_ref_keys": unused,
+        "n_converted": len(used),
+    }
+    if strict and (missing or mismatched):
+        raise ValueError(f"conversion incomplete: {report}")
+    return new_params, new_stats, report
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference .pth ({epoch, state_dict, optimizer} or bare dict)."""
     import torch

@@ -23,11 +23,13 @@ def test_dream_hourglass_shapes():
 
 
 def test_resnet_simple_shapes():
+    # reference-exact ResnetSimple emits input/2-res maps (4 deconvs off a
+    # stride-32 trunk, ref hourglass.py:116-160)
     m = ResnetSimple(7, blocks=(1, 1, 1, 1))
     x = jnp.zeros((1, 64, 64, 3))
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     out = m.apply(v, x, train=False)
-    assert out["hm"].shape == (1, 16, 16, 7)
+    assert out["hm"].shape == (1, 32, 32, 7)
 
 
 def test_spatial_softmax_localizes():
@@ -71,3 +73,33 @@ def test_tracker_gates_far_detection():
     out0 = tr.step([{"ct": (10.0, 10.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 1}])
     out1 = tr.step([{"ct": (400.0, 400.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 1}])
     assert out1[0]["tracking_id"] != out0[0]["tracking_id"]
+
+
+def test_track_video_e2e():
+    """Scan-detector-shaped inputs through the per-video association pass
+    (the --track CLI path, ref sgta_detector.py:198-202)."""
+    from sgtapose_tpu.infer.tracker import track_video
+
+    T, K = 5, 7
+    rng = np.random.RandomState(0)
+    base = rng.rand(K, 2) * 300 + 20
+    det = np.zeros((T, K, 2))
+    trk = np.zeros((T, K, 2))
+    for t in range(T):
+        det[t] = base + t * 0.02  # sub-gate drift (ref gate is 0.2 px)
+        trk[t] = -0.02 if t else 0.0
+    scores = np.full((T, K), 0.9)
+    det[2, 3] = -999.999 * 4  # one dropout frame for class 3
+    ids = track_video(det, scores, trk)
+    assert ids.shape == (T, K)
+    for k in range(K):
+        col = ids[:, k]
+        valid = col[col >= 0]
+        if k == 3:
+            assert ids[2, k] == -1
+        # persistent classes keep one id across the video
+        assert len(set(valid.tolist())) <= 2
+    # classes never share an id within a frame
+    for t in range(T):
+        v = ids[t][ids[t] >= 0]
+        assert len(set(v.tolist())) == len(v)
