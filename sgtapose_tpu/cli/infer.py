@@ -62,14 +62,28 @@ def parse_args(argv=None):
     p.add_argument("--depth", action="store_true",
                    help="42-joint depth-variant evaluation "
                         "(ref inference.py:407-522 inference_real_depth)")
+    p.add_argument("--track", action="store_true",
+                   help="run the host-side tracker association pass per video "
+                        "and write tracks.json (ref sgta_detector.py:198-202)")
+    p.add_argument("--hungarian", action="store_true",
+                   help="Hungarian instead of greedy association (--track)")
     return p.parse_args(argv)
+
+
+class DetOut:
+    """Per-video detector output: detections + what the tracker pass needs."""
+
+    def __init__(self, det, scores=None, tracking=None):
+        self.det = det  # (T, K, 2) raw coords / sentinel
+        self.scores = scores  # (T, K) or None
+        self.tracking = tracking  # (T, K, 2) raw-unit displacement or None
 
 
 def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
     """Per-video detection runner: the temporal scan detector (is_ct) or the
     DREAM single-frame detector (--is_ct false, ref sgta_detector.py:50-52).
-    Returns fn(raw uint8 imgs (T,H,W,3), x3d (T,K,3)) -> detections (T,K,2)
-    in raw pixels (blocking)."""
+    Returns fn(raw uint8 imgs (T,H,W,3), x3d (T,K,3)) -> DetOut with raw-pixel
+    detections (blocking)."""
     if args.is_ct == "false":
         from sgtapose_tpu.infer.dream_detector import make_dream_detector
 
@@ -78,7 +92,7 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
         )
 
         def run(imgs_np, x3d):
-            return dream_run(imgs_np)[0]
+            return DetOut(dream_run(imgs_np)[0])
 
         return run
 
@@ -93,9 +107,25 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
         )
         res = scan(video)
         jax.block_until_ready(res.detected_kps)
-        return np.asarray(res.detected_kps)
+        return DetOut(
+            np.asarray(res.detected_kps),
+            np.asarray(res.scores),
+            np.asarray(res.tracking),
+        )
 
     return run
+
+
+def _track_pass(out: DetOut, args) -> "np.ndarray | None":
+    """Host-side association over one video's detections when --track is on
+    (ref sgta_detector.py:198-202 tracker.step inside the frame loop)."""
+    if not args.track or out.scores is None:
+        return None
+    from sgtapose_tpu.infer.tracker import track_video
+
+    return track_video(
+        out.det, out.scores, out.tracking, hungarian=args.hungarian
+    )
 
 
 def list_synthetic_videos(dataset_dir: str) -> Dict[str, List[str]]:
@@ -126,7 +156,8 @@ def run_synthetic(args, cfg: Config, model, variables):
         return model.apply(variables, *inputs, train=False)
 
     all_det, all_gt, all_pos, sample_names = [], [], [], []
-    run = None
+    runners = {}  # per-raw-resolution (mixed-res sets rebuild, not miswarp)
+    all_tracks = {}
     raw_hw = None
     t_total, n_frames = 0.0, 0
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
@@ -145,15 +176,21 @@ def run_synthetic(args, cfg: Config, model, variables):
                 pos_cam.append(kp["positions_wrt_cam"])
                 x3d_rob.append(kp["positions_wrt_robot"])
         imgs_np = np.stack(imgs)
-        imgs = jnp.asarray(imgs_np)
-        if raw_hw is None:
-            raw_hw = (imgs.shape[1], imgs.shape[2])
-            run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
+        raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
+        if raw_hw not in runners:
+            runners[raw_hw] = _make_runner(
+                args, apply, variables, cfg, camera_K, raw_hw
+            )
+        run = runners[raw_hw]
         t0 = time.perf_counter()
         with timer.stage("detect"):
-            det_v = run(imgs_np, np.stack(x3d_rob))
+            out_v = run(imgs_np, np.stack(x3d_rob))
+        det_v = out_v.det
         t_total += time.perf_counter() - t0
         n_frames += len(frames)
+        ids = _track_pass(out_v, args)
+        if ids is not None:
+            all_tracks[vname] = ids.tolist()
 
         all_det.append(det_v)
         all_gt.append(np.stack(projs))
@@ -176,6 +213,10 @@ def run_synthetic(args, cfg: Config, model, variables):
     )
     # dt_and_json equivalent (ref inference.py:243-262)
     os.makedirs(args.output_dir, exist_ok=True)
+    if all_tracks:
+        with open(os.path.join(args.output_dir, "tracks.json"), "w") as f:
+            json.dump(all_tracks, f)
+        print(f"tracks written for {len(all_tracks)} videos")
     with open(os.path.join(args.output_dir, "dt_and_gt.json"), "w") as f:
         json.dump(
             {
@@ -216,7 +257,11 @@ def run_real(args, cfg: Config, model, variables):
         return model.apply(variables, *inputs, train=False)
 
     all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
-    run, raw_hw = None, None
+    runners = {}  # keyed by raw (H, W): a set with mixed video resolutions
+    # must rebuild the warp/runner per resolution (the reference rebuilds the
+    # detector per video, sgta_detector.py SGTADetector per-video __init__)
+    all_tracks = {}
+    raw_hw = None
     t_total, n_frames = 0.0, 0
     videos = list(zip(video_imgs, video_jsons))
     if args.max_videos:
@@ -233,13 +278,22 @@ def run_real(args, cfg: Config, model, variables):
             json_list.append(js_path)
             sample_names.append(f"{vi:03d}/{os.path.basename(js_rel)}")
         imgs_np = np.stack(imgs)
-        if raw_hw is None:
-            raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
-            run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
+        if raw_hw is not None and (imgs_np.shape[1], imgs_np.shape[2]) != raw_hw:
+            print(f"video {vi}: resolution change "
+                  f"{raw_hw} -> {imgs_np.shape[1:3]}; rebuilding runner")
+        raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
+        if raw_hw not in runners:
+            runners[raw_hw] = _make_runner(
+                args, apply, variables, cfg, camera_K, raw_hw
+            )
         t0 = time.perf_counter()
-        det_v = run(imgs_np, np.stack(pos_cam))
+        out_v = runners[raw_hw](imgs_np, np.stack(pos_cam))
+        det_v = out_v.det
         t_total += time.perf_counter() - t0
         n_frames += imgs_np.shape[0]
+        ids = _track_pass(out_v, args)
+        if ids is not None:
+            all_tracks[f"{vi:03d}"] = ids.tolist()
         all_det.append(det_v)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
@@ -252,6 +306,12 @@ def run_real(args, cfg: Config, model, variables):
           f"({n_frames / max(t_total, 1e-9):.1f} fps)")
 
     os.makedirs(args.output_dir, exist_ok=True)
+    if all_tracks:
+        with open(
+            os.path.join(args.output_dir, f"tracks_{args.is_real}.json"), "w"
+        ) as f:
+            json.dump(all_tracks, f)
+        print(f"tracks written for {len(all_tracks)} videos")
     with open(
         os.path.join(args.output_dir, f"dt_and_json_{args.is_real}.json"), "w"
     ) as f:
@@ -299,7 +359,7 @@ def run_depth(args, cfg: Config, model, variables):
     raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
     run = _make_runner(args, apply, variables, cfg, camera_K, raw_hw)
     t0 = time.perf_counter()
-    det = run(imgs_np, np.stack(pos_cam).astype(np.float32))
+    det = run(imgs_np, np.stack(pos_cam).astype(np.float32)).det
     t_total = time.perf_counter() - t0
     print(f"depth inference: {len(pngs)} frames in {t_total:.2f}s")
 

@@ -67,6 +67,11 @@ class DetectorCarry(NamedTuple):
 class FrameResult(NamedTuple):
     detected_kps: jnp.ndarray  # (K, 2) raw coords or KP_SENTINEL
     scores: jnp.ndarray  # (K,)
+    # tracking-head backward displacement at each peak, mapped to raw-pixel
+    # units (linear part of the inverse output affine; ref post_process.py
+    # transforms the tracking branch alongside ct). Feeds the host-side
+    # tracker pass (ref sgta_detector.py:198-202 tracker.step).
+    tracking: jnp.ndarray = None  # (K, 2)
 
 
 def preprocess_frames(
@@ -224,6 +229,8 @@ def _build_video_runner(
         detected = jnp.where(keep[:, None], raw_kps, KP_SENTINEL)
         scores = jnp.where(keep, dec.scores, -1.0)
 
+        trk_raw = dec.tracking @ trans_output_inv[:, :2].T
+
         new_carry = DetectorCarry(
             pre_img=cur_img,
             detected_kps=detected,
@@ -232,7 +239,9 @@ def _build_video_runner(
             trans=pose.trans,
             pose_ok=pose.success,
         )
-        return new_carry, FrameResult(detected_kps=detected, scores=scores)
+        return new_carry, FrameResult(
+            detected_kps=detected, scores=scores, tracking=trk_raw
+        )
 
     def run_video(video: VideoFrames) -> FrameResult:
         T = video.images.shape[0]
@@ -361,12 +370,15 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
         keep = dec.valid & (dec.scores > cfg.infer.out_thresh)
         detected = jnp.where(keep[:, None], raw_kps, KP_SENTINEL)
         scores = jnp.where(keep, dec.scores, -1.0)
+        trk_raw = dec.tracking @ trans_output_inv[:, :2].T
 
         new_carry = (
             list(cur_feats), detected, frame_idx + 1,
             pose.quat, pose.trans, pose.success,
         )
-        return new_carry, FrameResult(detected_kps=detected, scores=scores)
+        return new_carry, FrameResult(
+            detected_kps=detected, scores=scores, tracking=trk_raw
+        )
 
     def run_video(video: VideoFrames) -> FrameResult:
         prev_x3d = jnp.concatenate([video.x3d[:1], video.x3d[:-1]], axis=0)

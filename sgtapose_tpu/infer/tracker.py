@@ -125,3 +125,45 @@ class Tracker:
                     survivors.append(t)
         self.tracks = survivors
         return out
+
+
+def track_video(
+    detected_kps: np.ndarray,
+    scores: np.ndarray,
+    tracking: Optional[np.ndarray] = None,
+    gate: float = 0.2,
+    hungarian: bool = False,
+    sentinel: float = -999.999 * 4,
+) -> np.ndarray:
+    """Host-side per-video association pass mirroring the reference's
+    per-frame `self.tracker.step(results)` call (ref sgta_detector.py:198-202)
+    on the scan detector's outputs.
+
+    detected_kps: (T, K, 2) raw coords (sentinel = missing), scores: (T, K),
+    tracking: (T, K, 2) raw-pixel backward displacement from the tracking
+    head (or None -> zeros). Returns (T, K) int track ids, -1 where the class
+    was not detected that frame. The reference's fixed 0.2-px gate makes
+    association essentially identity-per-class (the keypoints are already
+    matched per-class by decode); this keeps the component wired and testable
+    without changing detections, exactly like the reference.
+    """
+    T, K, _ = detected_kps.shape
+    tracker = Tracker(gate=gate, hungarian=hungarian)
+    tracker.init_track([])
+    ids = np.full((T, K), -1, np.int64)
+    for t in range(T):
+        det_idx, dets = [], []
+        for k in range(K):
+            if np.all(detected_kps[t, k] > sentinel + 1e-6):
+                dets.append({
+                    "ct": detected_kps[t, k],
+                    "tracking": (tracking[t, k] if tracking is not None
+                                 else np.zeros(2)),
+                    "score": float(scores[t, k]),
+                    "class": k,
+                })
+                det_idx.append(k)
+        out = tracker.step(dets)
+        for d in out:
+            ids[t, int(d["class"])] = int(d["tracking_id"])
+    return ids

@@ -54,6 +54,7 @@ def test_train_then_infer(tmp_path):
             "--output_dir", res_dir,
             "--rf",
             "--multi_frame", "2",
+            "--track",
         ]
         + COMMON
     )
@@ -73,6 +74,13 @@ def test_train_then_infer(tmp_path):
     with open(os.path.join(res_dir, "dt_and_gt.json")) as fh:
         blob = json.load(fh)
     assert len(blob["names"]) == 6  # 2 videos x 3 frames
+    # --track writes the per-video association artifact (tracker pass,
+    # ref sgta_detector.py:198-202)
+    with open(os.path.join(res_dir, "tracks.json")) as fh:
+        tracks = json.load(fh)
+    assert len(tracks) == 2
+    for ids in tracks.values():
+        assert len(ids) == 3 and len(ids[0]) == 7
 
 
 @pytest.mark.slow
