@@ -401,12 +401,17 @@ def test_forward_parity_window_dense_arch_f64():
 @pytest.mark.parametrize("mode", ["shared_repro", "wo_shared"])
 def test_forward_parity_ablation_arch_f64(mode):
     """DLA_PlanAAblation: dense cat_layer fusion, trunk sharing per mode,
-    f64-exact vs the real reference model."""
+    f64-exact vs the real reference model. Runs at 128 (not RES=256): the
+    ablation archs take no per-class top-k priors, so the level-5
+    cell-disjointness constraint that pins the other archs to 256 does not
+    apply — and the smaller compile roughly quarters this test's cost."""
     import dataclasses
 
     import jax
 
     from sgtapose_tpu.models.variants import SGTAPoseAblation
+
+    RES = 128  # shadows the module RES for this test only
 
     dla = ref_oracle.ref_dla_module()
     opt = ref_oracle.make_ref_opt(phase=f"ablation_{mode}")
