@@ -417,6 +417,16 @@ def main(argv=None):
     if args.ckpt:
         state = trainer.load_checkpoint(os.path.abspath(args.ckpt), state)
         print(f"loaded {args.ckpt}")
+    else:
+        import warnings
+
+        warnings.warn(
+            "no --ckpt given: running with RANDOM weights — detections will "
+            "be empty/garbage. This mode only exercises the pipeline "
+            "(tests/smoke); pass --ckpt for real inference.",
+            stacklevel=1,
+        )
+        print("WARNING: no --ckpt — random-weight model, smoke mode only")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.depth:

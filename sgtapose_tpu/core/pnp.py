@@ -233,18 +233,42 @@ def solve_pnp(
             fresh_init,
             operand=None,
         )
-    q, t = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
 
     n_valid = jnp.sum(w)
+
+    def masked_reproj_err(q_, t_):
+        R_ = geometry.quat_to_matrix(q_)
+        proj_ = geometry.project_points(x3d, R_, t_, K)
+        return jnp.sum(jnp.linalg.norm(proj_ - x2d, axis=1) * w) / jnp.maximum(
+            n_valid, 1.0
+        )
+
+    # Multi-init LM, best-of by masked reprojection error: the DLT init can
+    # land in a wrong basin on noisy / near-degenerate configurations where
+    # cv2's EPnP init (ref geometric_vision.py:88-96) does not. Refining from
+    # a second, canonical front-facing pose (the object centroid pushed in
+    # front of the camera) and keeping the better optimum removes most of
+    # those bad-basin events at negligible cost (the LM while_loop is tiny
+    # next to the conv model). Candidate count is static; lax-friendly.
+    centroid = jnp.sum(x3d * w[:, None], axis=0) / jnp.maximum(n_valid, 1.0)
+    q_c = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    t_c = jnp.array([0.0, 0.0, 2.0], jnp.float32) - centroid
+
+    q_a, t_a = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
+    q_b, t_b = refine_pose_lm(x3d, x2d, K, w, q_c, t_c, max_iters=refine_iters)
+    err_a = masked_reproj_err(q_a, t_a)
+    err_b = masked_reproj_err(q_b, t_b)
+    # non-finite candidates lose the comparison
+    err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
+    err_b = jnp.where(jnp.isfinite(err_b), err_b, jnp.inf)
+    use_a = err_a <= err_b
+    q = jnp.where(use_a, q_a, q_b)
+    t = jnp.where(use_a, t_a, t_b)
+    reproj_err = jnp.minimum(err_a, err_b)
+
     # degenerate-solution gate: a pose whose reprojection is wildly off never
-    # converged (near-planar/clustered configurations can defeat the DLT
-    # init); report failure like cv2's pnp_retval=False so callers take their
-    # fallback paths (ref geometric_vision.py:111-116 except branch)
-    R = geometry.quat_to_matrix(q)
-    proj = geometry.project_points(x3d, R, t, K)
-    reproj_err = jnp.sum(jnp.linalg.norm(proj - x2d, axis=1) * w) / jnp.maximum(
-        n_valid, 1.0
-    )
+    # converged; report failure like cv2's pnp_retval=False so callers take
+    # their fallback paths (ref geometric_vision.py:111-116 except branch)
     ok = (
         (n_valid >= 4)
         & jnp.all(jnp.isfinite(q))
