@@ -291,6 +291,50 @@ def render_prior_heatmap_cls(
     )
 
 
+def render_teaser_heatmap(
+    kp_projs_raw: jnp.ndarray,
+    trans_input: jnp.ndarray,
+    input_w: int,
+    input_h: int,
+    raw_width,
+    raw_height,
+) -> jnp.ndarray:
+    """Display-quality prior heatmap: sigma=6, radius=12, SUB-PIXEL gaussian
+    centers (ref utilities.py:1059-1083 get_prev_hm_wo_noise_teaser +
+    draw_umich_gaussian_teaser :823-845 — unlike the training renderer, the
+    teaser keeps the fractional residual in the exponent). Used for prior
+    visualizations (ref sgta_detector.py _get_teaser_imgs)."""
+    pts = affine_transform_and_clip(
+        kp_projs_raw, trans_input, input_w, input_h, raw_width, raw_height
+    )
+    cx = jnp.trunc(pts[:, 0]).astype(jnp.int32)
+    cy = jnp.trunc(pts[:, 1]).astype(jnp.int32)
+    res_x = pts[:, 0] - cx.astype(jnp.float32)
+    res_y = pts[:, 1] - cy.astype(jnp.float32)
+    radius, sigma = 12, 6.0
+    drawable = (
+        (cx - radius >= 0)
+        & (cx + radius + 1 < input_w)
+        & (cy - radius >= 0)
+        & (cy + radius + 1 < input_h)
+    )
+    conf = drawable.astype(jnp.float32)
+    gy = jnp.arange(input_h, dtype=jnp.int32)[None, :, None]
+    gx = jnp.arange(input_w, dtype=jnp.int32)[None, None, :]
+    dy = gy - cy[:, None, None]
+    dx = gx - cx[:, None, None]
+    window = (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
+    g = jnp.exp(
+        -(
+            (dx.astype(jnp.float32) - res_x[:, None, None]) ** 2
+            + (dy.astype(jnp.float32) - res_y[:, None, None]) ** 2
+        )
+        / (2.0 * sigma * sigma)
+    )
+    g = jnp.where(window, g, 0.0) * conf[:, None, None]
+    return jnp.max(g, axis=0)
+
+
 def render_noised_prior_heatmap(
     rng: jax.Array,
     kp_projs_raw: jnp.ndarray,

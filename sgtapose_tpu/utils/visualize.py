@@ -101,3 +101,33 @@ def training_debug_mosaic(
     gt = image_from_belief_map(np.max(gt_belief, axis=-1)).resize(img.size)
     pr = image_from_belief_map(np.max(pred_belief, axis=-1)).resize(img.size)
     return mosaic_images([img, gt, pr], 1, 3)
+
+
+def teaser_prior_image(
+    kp_projs_raw, trans_input, input_wh, raw_wh, image=None
+):
+    """Display-quality prior visualization (ref sgta_detector.py
+    _get_teaser_imgs + utilities.py get_prev_hm_wo_noise_teaser): the
+    sub-pixel sigma=6 teaser heatmap, optionally blended over the warped
+    input image. Returns a uint8 (H, W, 3) array."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgtapose_tpu.core import geometry
+
+    in_w, in_h = input_wh
+    raw_w, raw_h = raw_wh
+    hm = np.asarray(
+        geometry.render_teaser_heatmap(
+            jnp.asarray(kp_projs_raw, jnp.float32),
+            jnp.asarray(trans_input, jnp.float32),
+            in_w, in_h, raw_w, raw_h,
+        )
+    )
+    heat = np.stack([hm * 255.0, hm * 64.0, (1.0 - hm) * 32.0], axis=-1)
+    if image is not None:
+        img = np.asarray(image, np.float32)
+        out = 0.55 * img + 0.45 * heat
+    else:
+        out = heat
+    return np.clip(out, 0, 255).astype(np.uint8)

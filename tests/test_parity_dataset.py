@@ -199,3 +199,33 @@ def test_tensor_parity(ref_dataset, idx):
             atol=2e-3,
             err_msg=ref_key,
         )
+
+
+def test_teaser_heatmap_parity(ref_dataset):
+    """render_teaser_heatmap vs the reference's sub-pixel teaser renderer
+    (utilities.py:1059-1083 + draw_umich_gaussian_teaser)."""
+    import sys
+
+    import jax.numpy as jnp
+
+    from sgtapose_tpu.core import geometry
+
+    utilities = sys.modules["sgtapose"].utilities
+    rng = np.random.RandomState(3)
+    kps = rng.rand(7, 2) * np.array([640.0, 360.0])
+    kps[2] = [-50.0, 100.0]  # out of raw frame -> no blob on either side
+    c = np.array([320.0, 180.0], np.float32)
+    trans = np.asarray(
+        geometry.get_affine_transform(jnp.asarray(c), jnp.float32(640.0), 0.0,
+                                      (RES, RES))
+    )
+    ref_hm = utilities.get_prev_hm_wo_noise_teaser(
+        kps, trans, RES, RES, 640, 360
+    )
+    our_hm = np.asarray(
+        geometry.render_teaser_heatmap(
+            jnp.asarray(kps, jnp.float32), jnp.asarray(trans), RES, RES,
+            640, 360,
+        )
+    )
+    np.testing.assert_allclose(our_hm, ref_hm, atol=1e-5)
