@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--input_res", type=int, default=480)
     p.add_argument("--dla_node", default="dcn")
+    p.add_argument("--fused_attention", action="store_true",
+                   help="Pallas fused biased-attention kernel (A/B knob)")
     p.add_argument("--eval_frames", type=int, default=16)
     p.add_argument("--eval_videos", type=int, default=4)
     p.add_argument("--log_every", type=int, default=50)
@@ -48,7 +50,8 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = Config(
         model=ModelConfig(
-            input_res=(args.input_res, args.input_res), dla_node=args.dla_node
+            input_res=(args.input_res, args.input_res), dla_node=args.dla_node,
+            fused_attention=args.fused_attention,
         ),
         train=TrainConfig(lr=args.lr, warmup_iters=min(100, args.steps // 4)),
     )
