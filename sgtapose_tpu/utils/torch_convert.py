@@ -313,6 +313,99 @@ def convert_state_dict(
 
 
 # -----------------------------------------------------------------------------
+# JAX -> torch EXPORT (inverse of convert_state_dict)
+# -----------------------------------------------------------------------------
+
+_INVERSE = {}
+
+
+def _inv_conv(w):
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _inv_linear(w):
+    return np.transpose(w)
+
+
+def _inv_dcn_main(w):
+    # (1, 1, 9*I, O) -> (O, I, 3, 3), tap-major row-major
+    _, _, ki, o = w.shape
+    i = ki // 9
+    return np.transpose(w.reshape(3, 3, i, o), (3, 2, 0, 1))
+
+
+def _inv_up(w):
+    return np.transpose(w[::-1, ::-1], (3, 2, 0, 1)).copy()
+
+
+_INVERSE[_conv] = _inv_conv
+_INVERSE[_linear] = _inv_linear
+_INVERSE[_dcn_main] = _inv_dcn_main
+_INVERSE[_up] = _inv_up
+
+
+def export_state_dict(
+    params,
+    batch_stats,
+    dla_node: str = "dcn",
+    arch: str = "dlapawdl3new",
+    bgr_to_rgb: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Export our Flax trees to a reference-format torch state_dict (the
+    inverse of convert_state_dict): trained JAX checkpoints become loadable
+    by the reference's `load_model` (ref lib/model/model.py:43-103) / usable
+    by torch deployments.
+
+    The reference's weight-tied transformer serializes three identical layer
+    copies (`_get_clones` reuses one instance, ref dla.py:788-789) — the
+    export emits layers.0/1/2 as copies. Dead reference params (base_layer,
+    repro_hm_layer, ImageNet fc, dead tree projections, wh head) are not
+    emitted; the reference loader initializes them and warns, exactly like
+    loading a partially-matching checkpoint. With bgr_to_rgb=True the
+    3-channel image-stem convs are flipped back to the reference's cv2 BGR
+    channel order.
+    """
+    mapping = _flag_map(dla_node, arch)
+    flat = {p: np.asarray(v) for p, v in _tree_paths(params)}
+    flat.update({p: np.asarray(v) for p, v in _tree_paths(batch_stats)})
+
+    sd: Dict[str, np.ndarray] = {}
+    for our_path, w in flat.items():
+        if our_path in mapping:
+            ref, tf = mapping[our_path]
+        else:
+            head, leaf = our_path.rsplit("/", 1)
+            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
+                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
+                ref, tf = mapping[head][0] + "." + suffix, None
+            else:
+                continue  # our-only param (none exist today; future-proof)
+        if bgr_to_rgb and our_path in (
+            "pre_img_stem/Conv_0/kernel", "cur_img_stem/Conv_0/kernel"
+        ):
+            w = w[:, :, ::-1, :]
+        sd[ref] = (w if tf is None else _INVERSE[tf](w)).astype(np.float32)
+
+    # weight-tied transformer copies (layers.1/2 identical to layers.0)
+    for name in [k for k in sd if ".layers.0." in k]:
+        for copy_i in (1, 2):
+            sd[name.replace(".layers.0.", f".layers.{copy_i}.")] = sd[name]
+    return sd
+
+
+def save_torch_checkpoint(path: str, sd: Dict[str, np.ndarray], epoch: int = 0):
+    """Write a reference-format {epoch, state_dict} .pth."""
+    import torch
+
+    torch.save(
+        {"epoch": epoch,
+         "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in sd.items()}},
+        path,
+    )
+
+
+# -----------------------------------------------------------------------------
 # DREAM baseline converters (ref lib/model/networks/hourglass.py)
 # -----------------------------------------------------------------------------
 

@@ -116,3 +116,74 @@ def test_module_prefix_stripped(flagship_vars, rng):
     sd_pref = {"module." + k: v for k, v in sd.items()}
     _, _, report = tc.convert_state_dict(sd_pref, params, stats, strict=True)
     assert not report["missing"]
+
+
+def test_export_roundtrip_dcn(flagship_vars):
+    """export_state_dict is the exact inverse of convert_state_dict on every
+    flagship leaf (dcn decoder nodes): ours -> torch dict -> ours recovers
+    the trees bit-exactly. With the ref->ours forward-parity test this proves
+    the ours->torch direction too."""
+    params, stats = flagship_vars["params"], flagship_vars["batch_stats"]
+    sd = tc.export_state_dict(params, stats, dla_node="dcn", bgr_to_rgb=True)
+    # weight-tied copies present for reference-loader compatibility
+    assert any(".layers.1." in k for k in sd)
+    p2, s2, report = tc.convert_state_dict(
+        sd, params, stats, bgr_to_rgb=True, strict=True, dla_node="dcn",
+    )
+    assert not report["missing"] and not report["mismatched"]
+    for tree_a, tree_b in ((params, p2), (stats, s2)):
+        for (pa, la), (pb, lb) in zip(
+            tc._tree_paths(tree_a), tc._tree_paths(tree_b)
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=pa)
+
+
+def test_export_loads_into_reference_model():
+    """The exported dict loads into the real torch reference model with no
+    unexpected keys; missing keys are exactly the known-dead reference params
+    (base_layer/repro stems, ImageNet fc, dead tree projections, wh head)."""
+    torch = pytest.importorskip("torch")
+    import ref_oracle
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt()
+    ref_model = dla.DLA_PlanAWindow_l3new(
+        34, ref_oracle.HEADS, ref_oracle.HEAD_CONVS, opt
+    )
+
+    # flagship kernel_list: the attention pos_embed shape must match the
+    # reference model's (n = 7 * K * window^2 per level)
+    cfg = ModelConfig(input_res=(64, 64), dla_node="conv")
+    m = SGTAPose(cfg)
+    variables = m.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 1)), jnp.zeros((1, 64, 64, 1)),
+        jnp.zeros((1, 16, 16, 7)), jnp.zeros((1, 16, 16, 7)),
+        train=False,
+    )
+    sd = tc.export_state_dict(
+        variables["params"], variables["batch_stats"], dla_node="conv",
+    )
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    result = ref_model.load_state_dict(sd_t, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys[:10]
+    allowed_missing = (
+        "base.base_layer", "base.repro_hm_layer", "base.fc", "wh.",
+    )
+    for k in result.missing_keys:
+        if "num_batches_tracked" in k:
+            continue
+        if re_dead_projection(k):
+            continue
+        assert k.startswith(allowed_missing), f"unexpectedly missing: {k}"
+
+
+def re_dead_projection(k: str) -> bool:
+    """Dead levels>1 tree projection params (see converter module docstring)."""
+    import re
+
+    return (".project." in k.replace("tree1.project", "")
+            and bool(re.search(r"level[2-5]", k)))
