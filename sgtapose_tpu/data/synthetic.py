@@ -84,7 +84,16 @@ def render_frame(projs: jnp.ndarray) -> jnp.ndarray:
         ],
         jnp.float32,
     )
-    colors = palette[:n]  # (n, 3); robots here have <= 9 keypoints
+    if n <= palette.shape[0]:
+        colors = palette[:n]
+    else:
+        # many-keypoint variants (e.g. the 42-joint depth dataset): cycle the
+        # palette with a brightness ramp so every class stays distinct-ish
+        reps = -(-n // palette.shape[0])
+        scales = jnp.linspace(1.0, 0.45, reps)
+        colors = jnp.concatenate(
+            [palette * s for s in scales], axis=0
+        )[:n]
     img = jnp.einsum("khw,kc->hwc", per, colors)
     return jnp.clip(img + 20.0, 0.0, 255.0)
 
