@@ -92,7 +92,8 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
         )
 
         def run(imgs_np, x3d):
-            return DetOut(dream_run(imgs_np)[0])
+            kps, scores = dream_run(imgs_np)
+            return DetOut(kps, scores)  # no tracking head in DREAM mode
 
         return run
 
@@ -158,6 +159,7 @@ def run_synthetic(args, cfg: Config, model, variables):
     all_det, all_gt, all_pos, sample_names = [], [], [], []
     runners = {}  # per-raw-resolution (mixed-res sets rebuild, not miswarp)
     all_tracks = {}
+    frame_res = []  # per-frame (w, h) so the metrics bucket correctly
     raw_hw = None
     t_total, n_frames = 0.0, 0
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
@@ -182,6 +184,7 @@ def run_synthetic(args, cfg: Config, model, variables):
                 args, apply, variables, cfg, camera_K, raw_hw
             )
         run = runners[raw_hw]
+        frame_res += [(imgs_np.shape[2], imgs_np.shape[1])] * len(frames)
         t0 = time.perf_counter()
         with timer.stage("detect"):
             out_v = run(imgs_np, np.stack(x3d_rob))
@@ -206,9 +209,11 @@ def run_synthetic(args, cfg: Config, model, variables):
     print(f"inference: {n_frames} frames in {t_total:.2f}s "
           f"({n_frames / max(t_total, 1e-9):.1f} fps)")
 
+    res_arg = ((frame_res[0]) if len(set(frame_res)) == 1
+               else np.array(frame_res))
     results = analyze_sequence_results(
         det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
-        (raw_hw[1], raw_hw[0]), args.output_dir, set_name="syn",
+        res_arg, args.output_dir, set_name="syn",
         sample_names=sample_names, rf=args.rf, syn=True,
     )
     # dt_and_json equivalent (ref inference.py:243-262)
@@ -261,6 +266,7 @@ def run_real(args, cfg: Config, model, variables):
     # must rebuild the warp/runner per resolution (the reference rebuilds the
     # detector per video, sgta_detector.py SGTADetector per-video __init__)
     all_tracks = {}
+    frame_res = []  # per-frame (w, h) so the metrics bucket correctly
     raw_hw = None
     t_total, n_frames = 0.0, 0
     videos = list(zip(video_imgs, video_jsons))
@@ -278,14 +284,14 @@ def run_real(args, cfg: Config, model, variables):
             json_list.append(js_path)
             sample_names.append(f"{vi:03d}/{os.path.basename(js_rel)}")
         imgs_np = np.stack(imgs)
-        if raw_hw is not None and (imgs_np.shape[1], imgs_np.shape[2]) != raw_hw:
-            print(f"video {vi}: resolution change "
-                  f"{raw_hw} -> {imgs_np.shape[1:3]}; rebuilding runner")
         raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
         if raw_hw not in runners:
+            if runners:
+                print(f"video {vi}: new resolution {raw_hw}; building runner")
             runners[raw_hw] = _make_runner(
                 args, apply, variables, cfg, camera_K, raw_hw
             )
+        frame_res += [(imgs_np.shape[2], imgs_np.shape[1])] * imgs_np.shape[0]
         t0 = time.perf_counter()
         out_v = runners[raw_hw](imgs_np, np.stack(pos_cam))
         det_v = out_v.det
@@ -317,9 +323,11 @@ def run_real(args, cfg: Config, model, variables):
     ) as f:
         json.dump({"dt": det.tolist(), "json": json_list}, f, indent=1)
 
+    res_arg = ((frame_res[0]) if len(set(frame_res)) == 1
+               else np.array(frame_res))
     results = analyze_sequence_results(
         det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
-        (raw_hw[1], raw_hw[0]), args.output_dir, set_name=args.is_real,
+        res_arg, args.output_dir, set_name=args.is_real,
         sample_names=sample_names, rf=args.rf, syn=False,
     )
     results["_multiframe_inputs"] = dict(

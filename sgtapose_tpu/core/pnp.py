@@ -245,22 +245,32 @@ def solve_pnp(
 
     # Multi-init LM, best-of by masked reprojection error: the DLT init can
     # land in a wrong basin on noisy / near-degenerate configurations where
-    # cv2's EPnP init (ref geometric_vision.py:88-96) does not. Refining from
-    # a second, canonical front-facing pose (the object centroid pushed in
-    # front of the camera) and keeping the better optimum removes most of
-    # those bad-basin events at negligible cost (the LM while_loop is tiny
-    # next to the conv model). Candidate count is static; lax-friendly.
+    # cv2's EPnP init (ref geometric_vision.py:88-96) does not. When the DLT
+    # result is not already converged (mean reprojection above a few px), a
+    # second LM runs from a canonical front-facing pose (object centroid
+    # pushed in front of the camera) and the better optimum wins — removing
+    # most bad-basin events while the lax.cond keeps converged solves (the
+    # common case on eval-only PnP loops) at single-refine cost.
+    q_a, t_a = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
+    err_a = masked_reproj_err(q_a, t_a)
+    err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
+
     centroid = jnp.sum(x3d * w[:, None], axis=0) / jnp.maximum(n_valid, 1.0)
     q_c = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
     t_c = jnp.array([0.0, 0.0, 2.0], jnp.float32) - centroid
 
-    q_a, t_a = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
-    q_b, t_b = refine_pose_lm(x3d, x2d, K, w, q_c, t_c, max_iters=refine_iters)
-    err_a = masked_reproj_err(q_a, t_a)
-    err_b = masked_reproj_err(q_b, t_b)
-    # non-finite candidates lose the comparison
-    err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
-    err_b = jnp.where(jnp.isfinite(err_b), err_b, jnp.inf)
+    def second_candidate(_):
+        q_b, t_b = refine_pose_lm(x3d, x2d, K, w, q_c, t_c,
+                                  max_iters=refine_iters)
+        err_b = masked_reproj_err(q_b, t_b)
+        return q_b, t_b, jnp.where(jnp.isfinite(err_b), err_b, jnp.inf)
+
+    q_b, t_b, err_b = jax.lax.cond(
+        err_a > 3.0,  # px mean; bad basins sit at tens-hundreds of px
+        second_candidate,
+        lambda _: (q_a, t_a, jnp.full((), jnp.inf, err_a.dtype)),
+        operand=None,
+    )
     use_a = err_a <= err_b
     q = jnp.where(use_a, q_a, q_b)
     t = jnp.where(use_a, t_a, t_b)

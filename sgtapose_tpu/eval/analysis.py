@@ -36,8 +36,12 @@ def analyze_sequence_results(
     det_flat = detections.reshape(F * K, 2)
     gt_flat = gt_projs.reshape(F * K, 2)
 
+    # image_resolution: (w, h), or (F, 2) per-frame for mixed-resolution
+    # sets — expanded to per-keypoint rows for the flat metrics
+    res = np.asarray(image_resolution)
+    kp_res = res if res.ndim == 1 else np.repeat(res, K, axis=0)
     kp_m = metrics.keypoint_metrics(
-        det_flat, gt_flat, image_resolution, syn=syn
+        det_flat, gt_flat, kp_res, syn=syn
     )
     adds, succ = metrics.compute_add_batch(detections, gt_pos_cam, camera_K, rf=rf)
     n_inframe = metrics.count_inframe_gt(gt_projs, image_resolution)

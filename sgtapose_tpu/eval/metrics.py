@@ -41,7 +41,12 @@ def keypoint_metrics(
     det = np.asarray(keypoints_detected, np.float64)
     gt = np.asarray(keypoints_gt, np.float64)
     gap = 140.0 if syn else 0.0
-    w, h = image_resolution
+    res = np.asarray(image_resolution)
+    if res.ndim == 1:
+        w, h = res  # one resolution for the whole set
+    else:
+        # per-row (w, h) — mixed-resolution sets (shape (N, 2))
+        w, h = res[:, 0], res[:, 1]
 
     out_of_frame = (
         (gt[:, 0] < gap)
@@ -179,8 +184,13 @@ def compute_add_batch(
 
 def count_inframe_gt(gt_projs: np.ndarray, image_resolution) -> np.ndarray:
     """Per frame: number of strictly-in-frame GT projections
-    (ref analysis.py:791-799)."""
-    w, h = image_resolution
+    (ref analysis.py:791-799). image_resolution: (w, h), or (F, 2) per-frame
+    for mixed-resolution sets."""
+    res = np.asarray(image_resolution)
+    if res.ndim == 1:
+        w, h = res
+    else:
+        w, h = res[:, 0][:, None], res[:, 1][:, None]
     inb = (
         (gt_projs[..., 0] > 0.0)
         & (gt_projs[..., 0] < w)

@@ -394,6 +394,11 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
         )
 
     def run_video(video: VideoFrames) -> FrameResult:
+        assert video.teacher_kps is None, (
+            "teacher forcing is only implemented on the exact-path detector "
+            "(make_video_detector); the feature-cache runner would silently "
+            "run closed-loop"
+        )
         prev_x3d = jnp.concatenate([video.x3d[:1], video.x3d[:-1]], axis=0)
         init_kps = (
             video.init_kps

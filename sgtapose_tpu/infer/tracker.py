@@ -133,7 +133,7 @@ def track_video(
     tracking: Optional[np.ndarray] = None,
     gate: float = 0.2,
     hungarian: bool = False,
-    sentinel: float = -999.999 * 4,
+    sentinel: Optional[float] = None,
 ) -> np.ndarray:
     """Host-side per-video association pass mirroring the reference's
     per-frame `self.tracker.step(results)` call (ref sgta_detector.py:198-202)
@@ -147,12 +147,16 @@ def track_video(
     matched per-class by decode); this keeps the component wired and testable
     without changing detections, exactly like the reference.
     """
+    if sentinel is None:
+        from sgtapose_tpu.infer.detector import KP_SENTINEL
+
+        sentinel = KP_SENTINEL
     T, K, _ = detected_kps.shape
     tracker = Tracker(gate=gate, hungarian=hungarian)
     tracker.init_track([])
     ids = np.full((T, K), -1, np.int64)
     for t in range(T):
-        det_idx, dets = [], []
+        dets = []
         for k in range(K):
             if np.all(detected_kps[t, k] > sentinel + 1e-6):
                 dets.append({
@@ -162,7 +166,6 @@ def track_video(
                     "score": float(scores[t, k]),
                     "class": k,
                 })
-                det_idx.append(k)
         out = tracker.step(dets)
         for d in out:
             ids[t, int(d["class"])] = int(d["tracking_id"])

@@ -263,7 +263,12 @@ def convert_state_dict(
         w = sd[ref]
         if tf is not None:
             w = tf(w)
-        if bgr_to_rgb and our_path == "pre_img_stem/Conv_0/kernel":
+        if bgr_to_rgb and our_path in (
+            "pre_img_stem/Conv_0/kernel", "cur_img_stem/Conv_0/kernel"
+        ):
+            # every 3-channel image stem flips (cur_img_stem exists on the
+            # wo_shared ablation's separate current-frame trunk); matches
+            # export_state_dict so the round-trip is exact for all archs
             w = w[:, :, ::-1, :]
         if tuple(w.shape) != tuple(expect_shape):
             mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
