@@ -80,6 +80,10 @@ def main(argv=None):
         trainer.save_checkpoint(os.path.abspath(args.ckpt_out), state)
         print(f"saved checkpoint -> {args.ckpt_out}")
 
+    if args.eval_videos <= 0:
+        print("eval skipped (--eval_videos 0)")
+        return None
+
     # ---- streaming eval on held-out synthetic videos -------------------------
     model = create_model(cfg.model)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

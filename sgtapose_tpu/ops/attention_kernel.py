@@ -121,7 +121,11 @@ def _xla_attention(q, k, v, bias):
     energy = jnp.einsum("bhid,bhjd->bhij", q, k) / jnp.sqrt(jnp.float32(d))
     energy = energy + bias.astype(energy.dtype)
     p = jax.nn.softmax(energy, axis=-1)
-    return jnp.einsum("bhij,bhjd->bhid", p, v)
+    # match the Pallas forward's output dtype (q.dtype): under bf16 training
+    # the f32 softmax output would otherwise promote the PV einsum to f32 and
+    # the recompute-VJP would reject the bf16 cotangent coming from the
+    # (bf16) primal's consumers
+    return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
