@@ -32,6 +32,18 @@ SKELETON = jnp.array(
 )
 
 
+def robot_skeleton(n_kp: int) -> jnp.ndarray:
+    """Skeleton for an n-keypoint robot: the panda chain, linearly
+    re-sampled to n points (kuka has 9 keypoints, ur5e 8 — ref
+    opts_parallel.py:439-475 get_keypoint_names)."""
+    if n_kp == SKELETON.shape[0]:
+        return SKELETON
+    seg = jnp.linspace(0.0, SKELETON.shape[0] - 1.0, n_kp)
+    lo = jnp.clip(jnp.floor(seg).astype(jnp.int32), 0, SKELETON.shape[0] - 2)
+    frac = (seg - lo)[:, None]
+    return SKELETON[lo] * (1 - frac) + SKELETON[lo + 1] * frac
+
+
 def camera_K() -> jnp.ndarray:
     return jnp.asarray(SYNTHETIC_CAMERA_K, jnp.float32)
 
@@ -164,10 +176,14 @@ def write_synthetic_dataset(
     import numpy as np
     from PIL import Image
 
+    from sgtapose_tpu.config import KEYPOINT_NAMES
+
     K = np.asarray(SYNTHETIC_CAMERA_K)
-    kp_names = [
-        "Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand",
-    ]
+    base = robot_name.replace("_synthetic", "")
+    kp_names = KEYPOINT_NAMES.get(
+        robot_name, KEYPOINT_NAMES.get(base, KEYPOINT_NAMES["panda_synthetic"])
+    )
+    skeleton = robot_skeleton(len(kp_names))
     rng = jax.random.PRNGKey(seed)
     for v in range(n_videos):
         vdir = os.path.join(out_dir, f"{v:05d}")
@@ -181,8 +197,8 @@ def write_synthetic_dataset(
             q = q / jnp.linalg.norm(q)
             t = t0 + dt * f
             R = geometry.quat_to_matrix(q)
-            pos_cam = np.asarray(geometry.transform_points(SKELETON, R, t))
-            projs = np.asarray(geometry.project_points(SKELETON, R, t, jnp.asarray(K, jnp.float32)))
+            pos_cam = np.asarray(geometry.transform_points(skeleton, R, t))
+            projs = np.asarray(geometry.project_points(skeleton, R, t, jnp.asarray(K, jnp.float32)))
             img = np.asarray(render_frame(jnp.asarray(projs))).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(vdir, f"{f:04d}_color.png"))
             meta = [

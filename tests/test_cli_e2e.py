@@ -349,3 +349,49 @@ def test_infer_real_mode_mixed_resolutions(tmp_path):
     # (last-video) resolution the 2x video's GT would be miscounted
     assert km["num_gt_inframe"] + km["num_gt_outframe"] == 4 * 7
     assert km["num_gt_inframe"] >= 24  # near-all in frame at both sizes
+
+
+@pytest.mark.slow
+def test_train_then_infer_kuka(tmp_path):
+    """Multi-robot support end-to-end: the 9-keypoint kuka config trains and
+    infers from the CLI (ref opts_parallel.py:439-475 get_keypoint_names)."""
+    train_dir = str(tmp_path / "kuka_data")
+    out_dir = str(tmp_path / "kuka_exp")
+    res_dir = str(tmp_path / "kuka_results")
+    write_synthetic_dataset(train_dir, n_videos=2, n_frames=3, seed=2,
+                            robot_name="kuka")
+
+    from sgtapose_tpu.cli import infer as infer_cli
+    from sgtapose_tpu.cli import train as train_cli
+
+    kuka_common = [
+        "--robot", "kuka",
+        "--input_res", "64",
+        "--dla_node", "conv",
+        "--kernel_list", "3,3,3,1,1,1",
+    ]
+    train_cli.main(
+        [
+            "--dataset", train_dir,
+            "--output_dir", out_dir,
+            "--num_epochs", "1",
+            "--batch_size", "2",
+            "--num_devices", "1",
+            "--log_every", "1",
+        ]
+        + kuka_common
+    )
+    ckpt = os.path.join(out_dir, "ckpt", "epoch_1")
+    assert os.path.isdir(ckpt)
+
+    results = infer_cli.main(
+        [
+            "--dataset", train_dir,
+            "--ckpt", ckpt,
+            "--output_dir", res_dir,
+        ]
+        + kuka_common
+    )
+    km = results["keypoint_metrics"]
+    # 2 videos x 3 frames x 9 keypoints accounted for
+    assert km["num_gt_inframe"] + km["num_gt_outframe"] == 54
