@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--fp_disturb", type=float, default=0.1)
     p.add_argument("--input_res", type=int, default=480)
     p.add_argument("--dla_node", default="dcn", choices=["dcn", "conv"])
+    p.add_argument("--dcn_chunks", type=int, default=1,
+                   help="DCN sampling in N row slabs (large-batch memory knob)")
+    p.add_argument("--dcn_remat", action="store_true",
+                   help="recompute DCN nodes in the backward (memory knob)")
     p.add_argument("--kernel_list", default="12,6,3,1,1,1",
                    help="per-level attention window sizes (ref ks1..ks6)")
     p.add_argument("--num_devices", type=int, default=None)
@@ -90,6 +94,8 @@ def build_config(args) -> Config:
             input_res=(args.input_res, args.input_res),
             num_classes=42 if args.depth else len(KEYPOINT_NAMES[args.robot]),
             dla_node=args.dla_node,
+            dcn_chunks=args.dcn_chunks,
+            dcn_remat=args.dcn_remat,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
             ablation_mode=ablation_mode,
         ),

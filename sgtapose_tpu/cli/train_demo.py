@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--dla_node", default="dcn")
     p.add_argument("--fused_attention", action="store_true",
                    help="Pallas fused biased-attention kernel (A/B knob)")
+    p.add_argument("--dcn_chunks", type=int, default=1,
+                   help="DCN sampling in N row slabs (large-batch memory knob)")
+    p.add_argument("--dcn_remat", action="store_true",
+                   help="recompute DCN nodes in the backward (memory knob)")
     p.add_argument("--eval_frames", type=int, default=16)
     p.add_argument("--eval_videos", type=int, default=4)
     p.add_argument("--log_every", type=int, default=50)
@@ -52,6 +56,7 @@ def main(argv=None):
         model=ModelConfig(
             input_res=(args.input_res, args.input_res), dla_node=args.dla_node,
             fused_attention=args.fused_attention,
+            dcn_chunks=args.dcn_chunks, dcn_remat=args.dcn_remat,
         ),
         train=TrainConfig(lr=args.lr, warmup_iters=min(100, args.steps // 4)),
     )

@@ -80,6 +80,13 @@ class ModelConfig:
     head_conv: int = 256  # hidden channels of each output head
     prior_bias: float = -4.6  # hm head bias init (ref: base_model.py:62)
     dla_node: str = "dcn"  # decoder node type: dcn | conv
+    # Large-batch training memory knobs for the DCN decoder (numerics
+    # unchanged; see models/deform_conv.py + docs/PERF.md): dcn_chunks > 1
+    # computes deformable sampling in row slabs under lax.scan (bounds the
+    # gather temps); dcn_remat recomputes the DCN in the backward instead of
+    # saving its (B,H,W,9C) sampled activation. Defaults off (fastest).
+    dcn_chunks: int = 1
+    dcn_remat: bool = False
     num_decoder_layers: int = 3  # cross-attention encoder depth (weight-tied)
     n_heads: int = 8
     pos_embed: bool = True  # learned relative position bias in attention

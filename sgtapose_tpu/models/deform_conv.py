@@ -25,6 +25,7 @@ Layout: NHWC. Offset channel convention matches DCNv2: for tap k, channels
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -32,16 +33,23 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-def _sample_pieces(feat, offsets, masks):
-    """Shared forward/backward plumbing: corner values, weights, indices."""
+def _sample_pieces(feat, offsets, masks, row0=0.0):
+    """Shared forward/backward plumbing: corner values, weights, indices.
+
+    `offsets` may cover only a horizontal slab of the output grid (the
+    chunked path): its row axis is `Hs` rows starting at global row `row0`
+    (a traced scalar under `lax.scan`). Gather indices are global into the
+    FULL `feat`, so slab results concatenate to exactly the unchunked op.
+    """
     B, H, W, C = feat.shape
-    gy = jnp.arange(H, dtype=jnp.float32)[:, None, None]  # (H,1,1)
+    Hs = offsets.shape[1]
+    gy = (row0 + jnp.arange(Hs, dtype=jnp.float32))[:, None, None]  # (Hs,1,1)
     gx = jnp.arange(W, dtype=jnp.float32)[None, :, None]  # (1,W,1)
     ky = (jnp.arange(9, dtype=jnp.float32) // 3 - 1.0)[None, None, :]  # (1,1,9)
     kx = (jnp.arange(9, dtype=jnp.float32) % 3 - 1.0)[None, None, :]
 
-    off = offsets.reshape(B, H, W, 9, 2)
-    y = gy[None] + ky[None] + off[..., 0]  # (B,H,W,9)
+    off = offsets.reshape(B, Hs, W, 9, 2)
+    y = gy[None] + ky[None] + off[..., 0]  # (B,Hs,W,9)
     x = gx[None] + kx[None] + off[..., 1]
 
     y0 = jnp.floor(y)
@@ -52,18 +60,26 @@ def _sample_pieces(feat, offsets, masks):
     x0i = x0.astype(jnp.int32)
 
     flat = feat.reshape(B, H * W, C)
-    n_idx = H * W * 9
+    n_idx = Hs * W * 9
 
     corners = []
     for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         yi = y0i + dy
         xi = x0i + dx
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)).astype(jnp.float32)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        # Zero-padding semantics are enforced by folding `valid` into the
+        # (B,Hs,W,9,1) bilinear weights below, NOT by where-masking the gathered
+        # values: a select on the (B,Hs,W,9,C) gather output costs a second
+        # full-size buffer per corner (506 MB padded at B=16 level-0) and was
+        # the dominant temp in the B=16 OOM report. promise_in_bounds skips
+        # take_along_axis's own OOB fill-select (indices are clipped above).
         vals = jnp.take_along_axis(
-            flat, idx.reshape(B, n_idx)[:, :, None], axis=1
-        ).reshape(B, H, W, 9, C)
-        vals = jnp.where(valid[..., None], vals, 0.0)
+            flat,
+            idx.reshape(B, n_idx)[:, :, None],
+            axis=1,
+            mode="promise_in_bounds",
+        ).reshape(B, Hs, W, 9, C)
         corners.append((vals, idx, valid))
 
     # Coordinate math stays f32 (bf16's 8-bit mantissa would cost ~0.5px at
@@ -72,11 +88,12 @@ def _sample_pieces(feat, offsets, masks):
     # bf16 under mixed precision — without this the f32 promotion doubles
     # activation memory and OOMs batch-8 480p training on a 16G chip.
     wdt = feat.dtype
+    val00, val01, val10, val11 = (v for _, _, v in corners)
     weights = (
-        ((1 - fy) * (1 - fx))[..., None].astype(wdt),
-        ((1 - fy) * fx)[..., None].astype(wdt),
-        (fy * (1 - fx))[..., None].astype(wdt),
-        (fy * fx)[..., None].astype(wdt),
+        ((1 - fy) * (1 - fx) * val00)[..., None].astype(wdt),
+        ((1 - fy) * fx * val01)[..., None].astype(wdt),
+        (fy * (1 - fx) * val10)[..., None].astype(wdt),
+        (fy * fx * val11)[..., None].astype(wdt),
     )
     return corners, weights, fy, fx
 
@@ -108,63 +125,157 @@ def _dsb_fwd(feat, offsets, masks):
     return deform_sample_batch(feat, offsets, masks), (feat, offsets, masks)
 
 
+def _bwd_core(feat, offsets, masks, g9, dfeat_acc, row0=0.0):
+    """Backward math for one slab (or the whole grid when row0=0, Hs=H).
+
+    g9: (B,Hs,W,9,C) cotangent of the masked samples; dfeat_acc: running
+    (B*H*W, C) feature-gradient accumulator (segment_sum adds into it).
+    Returns (dfeat_acc, doffsets_slab, dmask_slab).
+    """
+    B, H, W, C = feat.shape
+    Hs = offsets.shape[1]
+    corners, weights, fy, fx = _sample_pieces(feat, offsets, masks, row0)
+    (v00, i00, val00), (v01, i01, val01), (v10, i10, val10), (v11, i11, val11) = corners
+    w00, w01, w10, w11 = weights
+
+    samp = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    dmask = jnp.sum(samp * g9, axis=-1)  # (B,Hs,W,9)
+    dsamp = g9 * masks[..., None]  # (B,Hs,W,9,C)
+
+    # feature gradient: one segment_sum per corner, accumulated. Invalid taps
+    # carry weight 0 (validity is folded into the weights), so scattering
+    # their zero updates into the clipped index is a no-op — no dump row, and
+    # no 4x(B,H*W*9,C) concatenated updates buffer (2 GB padded at B=16;
+    # that concat was half of the B=16 backward peak).
+    n_idx = Hs * W * 9
+    batch_base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+    for idx, w in ((i00, w00), (i01, w01), (i10, w10), (i11, w11)):
+        ids = (idx.reshape(B, n_idx) + batch_base).reshape(-1)
+        dfeat_acc = dfeat_acc + jax.ops.segment_sum(
+            (dsamp * w).reshape(-1, C), ids, num_segments=B * H * W
+        )
+
+    # offset gradients: analytic bilinear derivatives with validity folded
+    # into the small per-corner coefficients — identical to zeroing the
+    # gathered corner values first (zero-padding semantics), without the
+    # full-size selects. Coefficients cast to the feature dtype so the
+    # (B,Hs,W,9,C) temps stay bf16 under mixed precision.
+    wdt = feat.dtype
+
+    def coef(c, valid):
+        return (c * valid)[..., None].astype(wdt)
+
+    dval_dy = (
+        v00 * coef(-(1 - fx), val00)
+        + v01 * coef(-fx, val01)
+        + v10 * coef(1 - fx, val10)
+        + v11 * coef(fx, val11)
+    )
+    dval_dx = (
+        v00 * coef(-(1 - fy), val00)
+        + v01 * coef(1 - fy, val01)
+        + v10 * coef(-fy, val10)
+        + v11 * coef(fy, val11)
+    )
+    dy = jnp.sum(dsamp * dval_dy, axis=-1)  # (B,Hs,W,9)
+    dx = jnp.sum(dsamp * dval_dx, axis=-1)
+    doffsets = jnp.stack([dy, dx], axis=-1).reshape(B, Hs, W, 18)
+    return dfeat_acc, doffsets, dmask
+
+
 def _dsb_bwd(res, g):
     feat, offsets, masks = res
     B, H, W, C = feat.shape
-    corners, weights, fy, fx = _sample_pieces(feat, offsets, masks)
-    (v00, i00, m00), (v01, i01, m01), (v10, i10, m10), (v11, i11, m11) = corners
-    w00, w01, w10, w11 = weights
-
     g9 = g.reshape(B, H, W, 9, C)
-    samp = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
-    dmask = jnp.sum(samp * g9, axis=-1)  # (B,H,W,9)
-    dsamp = g9 * masks[..., None]  # (B,H,W,9,C)
-
-    # feature gradient: one segment_sum over (batch, corner, tap, pixel)
-    n_idx = H * W * 9
-    batch_base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
-
-    def flat_ids(idx, valid):
-        ids = idx.reshape(B, n_idx) + batch_base
-        # invalid taps scatter into a dump row (B*H*W), dropped afterwards
-        return jnp.where(valid.reshape(B, n_idx), ids, B * H * W)
-
-    ids = jnp.concatenate(
-        [flat_ids(i00, m00), flat_ids(i01, m01), flat_ids(i10, m10), flat_ids(i11, m11)],
-        axis=1,
-    ).reshape(-1)
-    updates = jnp.concatenate(
-        [
-            (dsamp * w00).reshape(B, n_idx, C),
-            (dsamp * w01).reshape(B, n_idx, C),
-            (dsamp * w10).reshape(B, n_idx, C),
-            (dsamp * w11).reshape(B, n_idx, C),
-        ],
-        axis=1,
-    ).reshape(-1, C)
-    dfeat = jax.ops.segment_sum(updates, ids, num_segments=B * H * W + 1)
-    dfeat = dfeat[: B * H * W].reshape(B, H, W, C)
-
-    # offset gradients: analytic bilinear derivatives (fractional parts cast
-    # to the feature dtype so the (B,H,W,9,C) temps stay bf16 under mixed
-    # precision — same memory rationale as the forward weights)
-    fy_ = fy[..., None].astype(feat.dtype)
-    fx_ = fx[..., None].astype(feat.dtype)
-    dval_dy = (v10 - v00) * (1 - fx_) + (v11 - v01) * fx_
-    dval_dx = (v01 - v00) * (1 - fy_) + (v11 - v10) * fy_
-    dy = jnp.sum(dsamp * dval_dy, axis=-1)  # (B,H,W,9)
-    dx = jnp.sum(dsamp * dval_dx, axis=-1)
-    doffsets = jnp.stack([dy, dx], axis=-1).reshape(B, H, W, 18)
-
+    dfeat = jnp.zeros((B * H * W, C), dtype=feat.dtype)
+    dfeat, doffsets, dmask = _bwd_core(feat, offsets, masks, g9, dfeat)
     # cotangent dtypes must match the primals (bf16 training path)
     return (
-        dfeat.astype(feat.dtype),
+        dfeat.reshape(B, H, W, C).astype(feat.dtype),
         doffsets.astype(offsets.dtype),
         dmask.astype(masks.dtype),
     )
 
 
 deform_sample_batch.defvjp(_dsb_fwd, _dsb_bwd)
+
+
+def _pick_chunks(H: int, chunks: int) -> int:
+    """Largest divisor of H that is <= chunks (so slabs tile H exactly)."""
+    for s in range(min(chunks, H), 0, -1):
+        if H % s == 0:
+            return s
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def deform_sample_batch_chunked(chunks: int, feat, offsets, masks):
+    """`deform_sample_batch` computed in `chunks` horizontal output slabs.
+
+    Numerically identical op (global gather indices, same per-tap math; only
+    the iteration order over output rows changes), but the (B,Hs,W,9,C)
+    gather/product temps shrink by the chunk factor: a `lax.scan` over row
+    slabs keeps one slab's corner gathers live at a time instead of the full
+    (B,H,W,9,C) set that OOMs B=16 480p training (20x 270 MB level-0 temps —
+    see docs/PERF.md round-3). The slight cost: the scan serializes slabs,
+    so use only where memory (not FLOPs) binds — large-batch training.
+    """
+    return _dsc_impl(chunks, feat, offsets, masks)
+
+
+def _dsc_impl(chunks, feat, offsets, masks):
+    B, H, W, C = feat.shape
+    S = _pick_chunks(H, chunks)
+    if S == 1:
+        return deform_sample_batch(feat, offsets, masks)
+    Hs = H // S
+    offs = jnp.moveaxis(offsets.reshape(B, S, Hs, W, 18), 1, 0)  # (S,B,Hs,W,18)
+    msks = jnp.moveaxis(masks.reshape(B, S, Hs, W, 9), 1, 0)
+    row0s = jnp.arange(S, dtype=jnp.float32) * Hs
+
+    def body(_, xs):
+        off_s, msk_s, r0 = xs
+        corners, weights, _, _ = _sample_pieces(feat, off_s, msk_s, r0)
+        out = sum(v * w for (v, _, _), w in zip(corners, weights))
+        return None, (out * msk_s[..., None]).reshape(B, Hs, W, 9 * C)
+
+    _, outs = jax.lax.scan(body, None, (offs, msks, row0s))
+    return jnp.moveaxis(outs, 0, 1).reshape(B, H, W, 9 * C)
+
+
+def _dsc_fwd(chunks, feat, offsets, masks):
+    return _dsc_impl(chunks, feat, offsets, masks), (feat, offsets, masks)
+
+
+def _dsc_bwd(chunks, res, g):
+    feat, offsets, masks = res
+    B, H, W, C = feat.shape
+    S = _pick_chunks(H, chunks)
+    if S == 1:
+        return _dsb_bwd(res, g)
+    Hs = H // S
+    offs = jnp.moveaxis(offsets.reshape(B, S, Hs, W, 18), 1, 0)
+    msks = jnp.moveaxis(masks.reshape(B, S, Hs, W, 9), 1, 0)
+    row0s = jnp.arange(S, dtype=jnp.float32) * Hs
+    g9 = jnp.moveaxis(g.reshape(B, S, Hs, W, 9, C), 1, 0)
+
+    def body(dfeat_acc, xs):
+        off_s, msk_s, r0, g_s = xs
+        dfeat_acc, doff_s, dmsk_s = _bwd_core(feat, off_s, msk_s, g_s, dfeat_acc, r0)
+        return dfeat_acc, (doff_s, dmsk_s)
+
+    dfeat0 = jnp.zeros((B * H * W, C), dtype=feat.dtype)
+    dfeat, (doffs, dmsks) = jax.lax.scan(body, dfeat0, (offs, msks, row0s, g9))
+    doffsets = jnp.moveaxis(doffs, 0, 1).reshape(B, H, W, 18)
+    dmask = jnp.moveaxis(dmsks, 0, 1).reshape(B, H, W, 9)
+    return (
+        dfeat.reshape(B, H, W, C).astype(feat.dtype),
+        doffsets.astype(offsets.dtype),
+        dmask.astype(masks.dtype),
+    )
+
+
+deform_sample_batch_chunked.defvjp(_dsc_fwd, _dsc_bwd)
 
 
 # Back-compat single-image API (tests, reference docs)
@@ -208,6 +319,10 @@ class DeformConv2d(nn.Module):
 
     features: int
     use_bias: bool = True
+    # memory knob for large-batch training: compute the deformable sampling
+    # in `chunks` horizontal slabs (lax.scan) so the (B,H,W,9,C) gather temps
+    # shrink by the chunk factor. 1 = single-pass (default, fastest).
+    chunks: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -223,7 +338,10 @@ class DeformConv2d(nn.Module):
         offsets = offset_mask[..., :18]
         masks = jax.nn.sigmoid(offset_mask[..., 18:27])
 
-        flat = deform_sample_batch(x, offsets, masks)  # (B,H,W,9*C)
+        if self.chunks > 1:
+            flat = deform_sample_batch_chunked(self.chunks, x, offsets, masks)
+        else:
+            flat = deform_sample_batch(x, offsets, masks)  # (B,H,W,9*C)
 
         # kernel contraction on the MXU: (9*C_in) -> features
         out = nn.Conv(

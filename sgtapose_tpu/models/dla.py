@@ -250,15 +250,24 @@ class DepthwiseUpsample(nn.Module):
 
 
 class DeformNode(nn.Module):
-    """DCN + BN + ReLU decoder node (ref DeformConv dla.py:538-550)."""
+    """DCN + BN + ReLU decoder node (ref DeformConv dla.py:538-550).
+
+    `dcn_chunks`/`dcn_remat` are large-batch training memory knobs (see
+    models/deform_conv.py and docs/PERF.md): slab-chunked sampling bounds the
+    gather temps; remat drops the (B,H,W,9C) sampled-activation residual the
+    1x1 kernel contraction would otherwise save for its backward.
+    """
 
     features: int
     node_type: str = "dcn"
+    dcn_chunks: int = 1
+    dcn_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.node_type == "dcn":
-            x = DeformConv2d(self.features, name="conv")(x)
+            cls = nn.remat(DeformConv2d) if self.dcn_remat else DeformConv2d
+            x = cls(self.features, chunks=self.dcn_chunks, name="conv")(x)
         else:
             x = nn.Conv(self.features, kernel_size=(1, 1), use_bias=False, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
@@ -275,14 +284,19 @@ class IDAUp(nn.Module):
     in_channels: Tuple[int, ...]
     up_factors: Tuple[int, ...]
     node_type: str = "dcn"
+    dcn_chunks: int = 1
+    dcn_remat: bool = False
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int, train: bool = False):
+        kw = dict(dcn_chunks=self.dcn_chunks, dcn_remat=self.dcn_remat)
         for i in range(startp + 1, endp):
             j = i - startp
-            x = DeformNode(self.features, self.node_type, name=f"proj_{j}")(layers[i], train)
+            x = DeformNode(self.features, self.node_type, name=f"proj_{j}", **kw)(
+                layers[i], train
+            )
             x = DepthwiseUpsample(self.features, int(self.up_factors[j]), name=f"up_{j}")(x)
-            layers[i] = DeformNode(self.features, self.node_type, name=f"node_{j}")(
+            layers[i] = DeformNode(self.features, self.node_type, name=f"node_{j}", **kw)(
                 x + layers[i - 1], train
             )
         return layers
@@ -295,6 +309,8 @@ class DLAUp(nn.Module):
     channels: Tuple[int, ...]
     scales: Tuple[int, ...]
     node_type: str = "dcn"
+    dcn_chunks: int = 1
+    dcn_remat: bool = False
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -311,6 +327,8 @@ class DLAUp(nn.Module):
                 tuple(in_channels[j:]),
                 up_f,
                 self.node_type,
+                dcn_chunks=self.dcn_chunks,
+                dcn_remat=self.dcn_remat,
                 name=f"ida_{i}",
             )
             # operate on the tail of the full layer list, like the reference

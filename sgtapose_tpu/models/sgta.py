@@ -101,12 +101,14 @@ class SGTAPose(nn.Module):
         first_level, last_level = 2, 5
         dla_channels = channels[first_level:]
         scales = tuple(2 ** i for i in range(len(dla_channels)))
-        self.dla_up = DLAUp(first_level, dla_channels, scales, cfg.dla_node)
+        self.dla_up = DLAUp(first_level, dla_channels, scales, cfg.dla_node, dcn_chunks=cfg.dcn_chunks, dcn_remat=cfg.dcn_remat)
         self.ida_up = IDAUp(
             dla_channels[0],
             tuple(dla_channels[: last_level - first_level]),
             tuple(2 ** i for i in range(last_level - first_level)),
             cfg.dla_node,
+            dcn_chunks=cfg.dcn_chunks,
+            dcn_remat=cfg.dcn_remat,
         )
         self.hm = HeadConv(cfg.num_classes, cfg.head_conv, cfg.prior_bias)
         self.reg = HeadConv(2, cfg.head_conv)
@@ -214,7 +216,7 @@ class CenterNetSingle(nn.Module):
         first_level, last_level = 2, 5
         dla_channels = channels[first_level:]
         scales = tuple(2 ** i for i in range(len(dla_channels)))
-        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, name="dla_up")(
+        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, dcn_chunks=cfg.dcn_chunks, dcn_remat=cfg.dcn_remat, name="dla_up")(
             feats[first_level:], train
         )
         y = [outs[i] for i in range(last_level - first_level)]
@@ -223,6 +225,8 @@ class CenterNetSingle(nn.Module):
             tuple(dla_channels[: last_level - first_level]),
             tuple(2 ** i for i in range(last_level - first_level)),
             cfg.dla_node,
+            dcn_chunks=cfg.dcn_chunks,
+            dcn_remat=cfg.dcn_remat,
             name="ida_up",
         )(y, 0, len(y), train)
         feat = y[-1]

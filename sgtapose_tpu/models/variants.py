@@ -51,7 +51,7 @@ class _DecoderHeads(nn.Module):
         first_level, last_level = 2, 5
         dla_channels = channels[first_level:]
         scales = tuple(2 ** i for i in range(len(dla_channels)))
-        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, name="dla_up")(
+        outs = DLAUp(first_level, dla_channels, scales, cfg.dla_node, dcn_chunks=cfg.dcn_chunks, dcn_remat=cfg.dcn_remat, name="dla_up")(
             fused[first_level:], train
         )
         y = [outs[i] for i in range(last_level - first_level)]
@@ -60,6 +60,8 @@ class _DecoderHeads(nn.Module):
             tuple(dla_channels[: last_level - first_level]),
             tuple(2 ** i for i in range(last_level - first_level)),
             cfg.dla_node,
+            dcn_chunks=cfg.dcn_chunks,
+            dcn_remat=cfg.dcn_remat,
             name="ida_up",
         )(y, 0, len(y), train)
         feat = y[-1]

@@ -169,6 +169,93 @@ def test_deform_sample_custom_vjp_matches_autodiff():
     assert np.isfinite(np.asarray(gb, np.float32)).all()
 
 
+def test_deform_sample_chunked_matches_unchunked():
+    """The slab-chunked memory path (lax.scan over output rows) is the same
+    op: identical forward values and identical gradients, including chunk
+    counts that don't divide H (largest-divisor fallback) and chunks > H."""
+    import jax
+
+    from sgtapose_tpu.models import deform_conv as dc
+
+    rng = np.random.RandomState(11)
+    B, H, W, C = 2, 6, 5, 4
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    offsets = jnp.asarray(rng.randn(B, H, W, 18).astype(np.float32)) * 1.7
+    masks = jnp.asarray(rng.rand(B, H, W, 9).astype(np.float32))
+
+    ref = dc.deform_sample_batch(feat, offsets, masks)
+    g_ref = jax.grad(
+        lambda f, o, m: jnp.sum(jnp.sin(dc.deform_sample_batch(f, o, m))),
+        argnums=(0, 1, 2),
+    )(feat, offsets, masks)
+
+    for chunks in (2, 3, 4, 64):  # 4 -> divisor fallback to 3; 64 -> 6
+        out = dc.deform_sample_batch_chunked(chunks, feat, offsets, masks)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6,
+            err_msg=f"forward chunks={chunks}",
+        )
+        g = jax.grad(
+            lambda f, o, m: jnp.sum(
+                jnp.sin(dc.deform_sample_batch_chunked(chunks, f, o, m))
+            ),
+            argnums=(0, 1, 2),
+        )(feat, offsets, masks)
+        for gc, gr, name in zip(g, g_ref, ("feat", "offsets", "masks")):
+            np.testing.assert_allclose(
+                np.asarray(gc), np.asarray(gr), rtol=1e-5, atol=1e-6,
+                err_msg=f"{name} chunks={chunks}",
+            )
+
+
+def test_deform_conv_chunked_module_and_remat():
+    """DeformConv2d(chunks=N) and nn.remat'd DeformNode produce the same
+    outputs/params as the plain module (the knobs change memory, not math)."""
+    import jax
+    import flax.linen as nn
+
+    from sgtapose_tpu.models import deform_conv as dc
+    from sgtapose_tpu.models.dla import DeformNode
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))
+
+    plain = dc.DeformConv2d(10)
+    chunked = dc.DeformConv2d(10, chunks=4)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(chunked.apply(v, x)), np.asarray(plain.apply(v, x)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    node = DeformNode(10)
+    node_r = DeformNode(10, dcn_chunks=2, dcn_remat=True)
+    vn = node.init(jax.random.PRNGKey(1), x)
+    # identical param tree (remat is transparent to variable paths)
+    assert jax.tree_util.tree_structure(
+        node_r.init(jax.random.PRNGKey(1), x)
+    ) == jax.tree_util.tree_structure(vn)
+    np.testing.assert_allclose(
+        np.asarray(node_r.apply(vn, x, train=False)),
+        np.asarray(node.apply(vn, x, train=False)),
+        rtol=1e-6, atol=1e-6,
+    )
+    # gradient flows through the remat'd chunked node
+    def loss(params, mod):
+        out = mod.apply({"params": params, "batch_stats": vn["batch_stats"]},
+                        x, train=False)
+        return jnp.sum(out ** 2)
+
+    g_plain = jax.grad(loss)(vn["params"], node)
+    g_remat = jax.grad(loss)(vn["params"], node_r)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g_plain, g_remat,
+    )
+
+
 @pytest.mark.parametrize("robot,n_kp", [("kuka", 9), ("ur5e", 8)])
 def test_other_robots_forward(robot, n_kp):
     """Kuka (9 kps) / UR5e (8 kps) configs build and forward (ref
