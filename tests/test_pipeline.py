@@ -94,23 +94,6 @@ def test_eval_step(raw_batch):
     assert np.isfinite(float(stats["tot"]))
 
 
-def test_parallel_train_step_8dev(raw_batch):
-    """Data-parallel step over the 8 virtual CPU devices."""
-    from sgtapose_tpu.parallel import mesh as mesh_lib
-
-    mesh = mesh_lib.make_mesh()
-    assert mesh.devices.size == 8
-    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
-    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
-    big_raw = synthetic.make_raw_batch(jax.random.PRNGKey(5), 8)
-    batch = fn(jax.random.PRNGKey(1), big_raw)
-    batch = mesh_lib.shard_batch(batch, mesh)
-    pstep = trainer.make_parallel_train_step(mesh)
-    state, stats = pstep(state, batch, jax.random.PRNGKey(2))
-    assert np.isfinite(float(stats["tot"]))
-    assert int(state.step) == 1
-
-
 @pytest.mark.slow
 def test_parallel_step_matches_single_device():
     """The 8-device data-parallel step computes the SAME update as a
@@ -133,6 +116,7 @@ def test_parallel_step_matches_single_device():
 
     def one_step(n_dev):
         mesh = mesh_lib.make_mesh(n_dev)
+        assert mesh.devices.size == n_dev
         state = trainer.create_train_state(cfg, jax.random.PRNGKey(0), max_iters=100)
         sharded = mesh_lib.shard_batch(batch, mesh)
         pstep = trainer.make_parallel_train_step(mesh)
@@ -142,6 +126,7 @@ def test_parallel_step_matches_single_device():
     s8, st8 = one_step(8)
     s1, st1 = one_step(1)
     assert np.isfinite(float(st8["tot"]))
+    assert int(s8.step) == 1
     np.testing.assert_allclose(float(st8["tot"]), float(st1["tot"]), rtol=2e-4)
     # updated params agree leaf-by-leaf
     l8 = jax.tree_util.tree_leaves(s8.params)
