@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--ref_sort", default="score", choices=["score", "y"],
                    help="peak ambiguity ordering; 'y' reproduces the "
                         "reference's exact behavior for parity evals")
+    p.add_argument("--decode_coord", default="reg",
+                   choices=["reg", "avg", "logquad", "mean"],
+                   help="final sub-pixel coordinate estimator (see "
+                        "decode/peaks.py; reg = reference parity)")
     p.add_argument("--phase", default=None,
                    help="inference phase/arch family (default: PlanA_win, or "
                         "Dream when --is_ct false); see train/phases.py")
@@ -65,6 +69,11 @@ def parse_args(argv=None):
     p.add_argument("--track", action="store_true",
                    help="run the host-side tracker association pass per video "
                         "and write tracks.json (ref sgta_detector.py:198-202)")
+    p.add_argument("--debug", type=int, default=0,
+                   help="save per-frame debug images (pred-hm/prior-hm "
+                        "blends + detection overlay with tracking arrows) "
+                        "to output_dir/debug — ref sgta_detector.py debug "
+                        "path via utils/debugger.py")
     p.add_argument("--hungarian", action="store_true",
                    help="Hungarian instead of greedy association (--track)")
     return p.parse_args(argv)
@@ -73,10 +82,13 @@ def parse_args(argv=None):
 class DetOut:
     """Per-video detector output: detections + what the tracker pass needs."""
 
-    def __init__(self, det, scores=None, tracking=None):
+    def __init__(self, det, scores=None, tracking=None,
+                 debug_hm=None, debug_pre_hm=None):
         self.det = det  # (T, K, 2) raw coords / sentinel
         self.scores = scores  # (T, K) or None
         self.tracking = tracking  # (T, K, 2) raw-unit displacement or None
+        self.debug_hm = debug_hm  # (T, Ho, Wo, K) post-sigmoid, --debug only
+        self.debug_pre_hm = debug_pre_hm  # (T, H_in, W_in, 1), --debug only
 
 
 def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
@@ -97,8 +109,10 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
 
         return run
 
+    debug = getattr(args, "debug", 0) > 0
     scan = det_lib.make_video_detector(
-        apply, variables, cfg, camera_K, raw_hw, phase=args.phase
+        apply, variables, cfg, camera_K, raw_hw, phase=args.phase,
+        debug_outputs=debug,
     )
 
     def run(imgs_np, x3d):
@@ -112,6 +126,8 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
             np.asarray(res.detected_kps),
             np.asarray(res.scores),
             np.asarray(res.tracking),
+            debug_hm=np.asarray(res.debug_hm) if debug else None,
+            debug_pre_hm=np.asarray(res.debug_pre_hm) if debug else None,
         )
 
     return run
@@ -127,6 +143,46 @@ def _track_pass(out: DetOut, args) -> "np.ndarray | None":
     return track_video(
         out.det, out.scores, out.tracking, hungarian=args.hungarian
     )
+
+
+def _write_debug_images(args, out: DetOut, imgs_np, vname, frame_names,
+                        ids=None):
+    """Per-frame debug artifacts when --debug > 0 (ref sgta_detector.py:
+    960-1032 debug path): 'generic' raw frame + detections + tracking arrows
+    (+ track ids under --track), 'pred_hm' blend of the class-colored center
+    heatmaps, 'pre_hm' blend of the rendered temporal prior."""
+    from sgtapose_tpu.utils.debugger import Debugger
+
+    dbg_dir = os.path.join(args.output_dir, "debug")
+    K = out.det.shape[1]
+    dbg = Debugger(num_classes=K)
+    for t, fname in enumerate(frame_names):
+        dbg.clear()
+        img = imgs_np[t]
+        wh = (img.shape[1], img.shape[0])
+        dbg.add_img(img, "generic")
+        kps = out.det[t]
+        dbg.add_keypoints(
+            kps, "generic",
+            scores=out.scores[t] if out.scores is not None else None,
+        )
+        if out.tracking is not None:
+            for k in range(K):
+                if kps[k, 0] > -999.0:
+                    dbg.add_arrow(kps[k], out.tracking[t, k], "generic")
+        if ids is not None:
+            for k in range(K):
+                if kps[k, 0] > -999.0:
+                    dbg.add_tracking_id(kps[k], int(ids[t][k]), "generic")
+        if out.debug_hm is not None:
+            dbg.add_blend_img(
+                img, dbg.gen_colormap(out.debug_hm[t], output_res=wh), "pred_hm"
+            )
+        if out.debug_pre_hm is not None:
+            dbg.add_blend_img(
+                img, dbg.gen_colormap(out.debug_pre_hm[t], output_res=wh), "pre_hm"
+            )
+        dbg.save_all_imgs(dbg_dir, prefix=f"{vname}_{fname}_")
 
 
 def list_synthetic_videos(dataset_dir: str) -> Dict[str, List[str]]:
@@ -194,6 +250,8 @@ def run_synthetic(args, cfg: Config, model, variables):
         ids = _track_pass(out_v, args)
         if ids is not None:
             all_tracks[vname] = ids.tolist()
+        if args.debug:
+            _write_debug_images(args, out_v, imgs_np, vname, frames, ids=ids)
 
         all_det.append(det_v)
         all_gt.append(np.stack(projs))
@@ -300,6 +358,12 @@ def run_real(args, cfg: Config, model, variables):
         ids = _track_pass(out_v, args)
         if ids is not None:
             all_tracks[f"{vi:03d}"] = ids.tolist()
+        if args.debug:
+            _write_debug_images(
+                args, out_v, imgs_np, f"{vi:03d}",
+                [os.path.splitext(os.path.basename(r))[0] for r in imgs_rel],
+                ids=ids,
+            )
         all_det.append(det_v)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
@@ -404,7 +468,7 @@ def main(argv=None):
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
         ),
-        infer=InferConfig(ref_sort=args.ref_sort),
+        infer=InferConfig(ref_sort=args.ref_sort, decode_coord=args.decode_coord),
         robot=args.robot,
     )
     if args.phase is None:

@@ -152,6 +152,11 @@ class InferConfig:
     # reference's exact sort-by-subpixel-y behavior — use for checkpoint-
     # parity evaluation; see decode/peaks.py module docstring)
     ref_sort: str = "score"
+    # final sub-pixel coordinate estimator: "reg" (reference cts_wreg parity),
+    # "avg" (DREAM windowed average), "logquad" (log-parabola on the blurred
+    # map — exact for gaussian peaks), "mean" (reg+logquad average). Measured
+    # A/B in docs/PERF.md; "reg" stays the parity default.
+    decode_coord: str = "reg"
     # streaming fast path: warm-start the per-frame prior PnP from the
     # previous frame's solved pose instead of a fresh DLT (eigh/svd) init
     # (same objective + success gate; the reference re-inits via cv2 EPnP

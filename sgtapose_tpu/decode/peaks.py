@@ -125,11 +125,39 @@ def _subpixel_refine(map_ori: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, off
     return x_avg + offset, y_avg + offset
 
 
+def _logquad_delta(f_m, f_0, f_p):
+    """1-D sub-pixel offset by log-parabola fit through (peak-1, peak, peak+1).
+    Exact for a sampled gaussian (the GT belief maps ARE gaussians, and the
+    sigma=3 pre-blur keeps them gaussian), unlike the windowed average whose
+    truncation bias DREAM patches with the empirical +0.4395 offset."""
+    eps = 1e-12
+    lm, l0, lp = (jnp.log(jnp.maximum(v, eps)) for v in (f_m, f_0, f_p))
+    denom = 2.0 * l0 - lm - lp
+    delta = jnp.where(jnp.abs(denom) > eps, (lp - lm) / (2.0 * denom), 0.0)
+    return jnp.clip(delta, -0.5, 0.5)
+
+
+def _logquad_refine(blurred_c: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Separable log-parabola sub-pixel peak on one class's BLURRED map.
+    blurred_c: (H, W); px, py: () int32 integer peak. Returns (x, y) float."""
+    H, W = blurred_c.shape
+    xm = jnp.clip(px - 1, 0, W - 1)
+    xp = jnp.clip(px + 1, 0, W - 1)
+    ym = jnp.clip(py - 1, 0, H - 1)
+    yp = jnp.clip(py + 1, 0, H - 1)
+    dx = _logquad_delta(blurred_c[py, xm], blurred_c[py, px], blurred_c[py, xp])
+    dy = _logquad_delta(blurred_c[ym, px], blurred_c[py, px], blurred_c[yp, px])
+    # border peaks (clamped neighbor == center) fall back to the integer peak
+    dx = jnp.where((px > 0) & (px < W - 1), dx, 0.0)
+    dy = jnp.where((py > 0) & (py < H - 1), dy, 0.0)
+    return px.astype(jnp.float32) + dx, py.astype(jnp.float32) + dy
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_peaks", "peak_thresh", "ambiguity_gap", "peak_offset", "sigma",
-        "use_reg", "ref_sort",
+        "use_reg", "ref_sort", "coord_mode",
     ),
 )
 def decode_heatmaps(
@@ -143,12 +171,20 @@ def decode_heatmaps(
     sigma: float = 3.0,
     use_reg: bool = True,
     ref_sort: str = "score",
+    coord_mode: str = "reg",
 ) -> DecodedKeypoints:
     """Decode one frame's outputs. hm: (H, W, C) AFTER sigmoid;
     reg/tracking: (H, W, 2). use_reg=False returns the weighted-average
     sub-pixel peak directly (the DREAM baseline decode, which has no reg
     head — ref image_proc.py:1032-1143 used standalone).
-    ref_sort: "score" (intent) or "y" (reference parity; see module doc)."""
+    ref_sort: "score" (intent) or "y" (reference parity; see module doc).
+    coord_mode — final sub-pixel coordinate estimator (measured A/B in
+    docs/PERF.md; all peak SELECTION logic is identical across modes):
+      "reg"     int(refined) + reg head (reference cts_wreg parity; default)
+      "avg"     the 5x5 weighted average + 0.4395 (DREAM decode)
+      "logquad" log-parabola fit on the blurred map (exact for gaussians)
+      "mean"    average of "reg" and "logquad"
+    """
     H, W, C = hm.shape
     blurred = gaussian_blur(hm, sigma)
     mask = _local_max_mask(blurred, peak_thresh)
@@ -205,13 +241,28 @@ def decode_heatmaps(
 
     reg_at = reg[iy, ix]  # (C, 2)
     trk_at = tracking[iy, ix]
-    if use_reg:
-        coords = jnp.stack(
+    if not use_reg:
+        coord_mode = "avg"
+    if coord_mode in ("logquad", "mean"):
+        blurred_cf = blurred.transpose(2, 0, 1)  # (C, H, W)
+        bx = take(px, best)
+        by = take(py, best)
+        qx, qy = jax.vmap(_logquad_refine)(blurred_cf, bx, by)  # (C,) each
+    if coord_mode == "avg":
+        coords = jnp.stack([sx, sy], axis=1)
+    elif coord_mode == "logquad":
+        coords = jnp.stack([qx, qy], axis=1)
+    else:
+        reg_coords = jnp.stack(
             [ix.astype(jnp.float32) + reg_at[:, 0], iy.astype(jnp.float32) + reg_at[:, 1]],
             axis=1,
         )
-    else:
-        coords = jnp.stack([sx, sy], axis=1)
+        if coord_mode == "mean":
+            coords = 0.5 * (reg_coords + jnp.stack([qx, qy], axis=1))
+        elif coord_mode == "reg":
+            coords = reg_coords
+        else:
+            raise ValueError(f"unknown coord_mode {coord_mode!r}")
     coords = jnp.where(accept[:, None], coords, SENTINEL)
     coords_int = jnp.stack([ix, iy], axis=1)
     return DecodedKeypoints(

@@ -78,6 +78,11 @@ class FrameResult(NamedTuple):
     # transforms the tracking branch alongside ct). Feeds the host-side
     # tracker pass (ref sgta_detector.py:198-202 tracker.step).
     tracking: jnp.ndarray = None  # (K, 2)
+    # debug-only extras (debug_outputs=True): the post-sigmoid center
+    # heatmaps and the rendered prior heatmap, for the per-frame Debugger
+    # blends (ref sgta_detector.py:960-1032 with opt.debug >= 1)
+    debug_hm: Optional[jnp.ndarray] = None  # (Ho, Wo, K)
+    debug_pre_hm: Optional[jnp.ndarray] = None  # (H_in, W_in, 1)
 
 
 def preprocess_frames(
@@ -164,6 +169,7 @@ def _build_video_runner(
     camera_K,
     raw_hw: Tuple[int, int],
     phase: str = "PlanA_win",
+    debug_outputs: bool = False,
 ):
     """fn(video: VideoFrames) -> FrameResult stacked over T (unjitted).
 
@@ -228,6 +234,7 @@ def _build_video_runner(
             peak_offset=cfg.infer.peak_offset,
             sigma=cfg.infer.peak_sigma,
             ref_sort=cfg.infer.ref_sort,
+            coord_mode=cfg.infer.decode_coord,
         )
 
         # ---- back to raw coords + thresholds --------------------------------
@@ -246,8 +253,11 @@ def _build_video_runner(
             trans=pose.trans,
             pose_ok=pose.success,
         )
+        extras = (
+            {"debug_hm": hm, "debug_pre_hm": pre_hm} if debug_outputs else {}
+        )
         return new_carry, FrameResult(
-            detected_kps=detected, scores=scores, tracking=trk_raw
+            detected_kps=detected, scores=scores, tracking=trk_raw, **extras
         )
 
     def run_video(video: VideoFrames) -> FrameResult:
@@ -280,10 +290,13 @@ def _build_video_runner(
 
 
 def make_video_detector(model_apply, variables, cfg, camera_K, raw_hw,
-                        phase: str = "PlanA_win"):
-    """Jitted single-video detector: fn(VideoFrames) -> FrameResult over T."""
+                        phase: str = "PlanA_win", debug_outputs: bool = False):
+    """Jitted single-video detector: fn(VideoFrames) -> FrameResult over T.
+    debug_outputs=True adds per-frame heatmap/prior tensors for the Debugger
+    (utils/debugger.py; ref sgta_detector.py debug path)."""
     return jax.jit(
-        _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw, phase)
+        _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw,
+                            phase, debug_outputs=debug_outputs)
     )
 
 
@@ -378,6 +391,7 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
             peak_offset=cfg.infer.peak_offset,
             sigma=cfg.infer.peak_sigma,
             ref_sort=cfg.infer.ref_sort,
+            coord_mode=cfg.infer.decode_coord,
         )
         raw_kps = geometry.affine_points(dec.coords, trans_output_inv)
         keep = dec.valid & (dec.scores > cfg.infer.out_thresh)

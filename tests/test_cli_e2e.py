@@ -140,11 +140,18 @@ def test_infer_real_mode(tmp_path):
             "--input_res", "64",
             "--dla_node", "conv",
             "--kernel_list", "3,3,3,1,1,1",
+            "--debug", "1",
         ]
     )
     assert results["keypoint_metrics"]["num_gt_inframe"] > 0
     assert os.path.exists(os.path.join(res_dir, "dt_and_json_panda-test.json"))
     assert os.path.exists(os.path.join(res_dir, "panda-test_pnp_results.csv"))
+    # --debug writes the per-frame Debugger artifacts (generic overlay +
+    # pred_hm / pre_hm blends; ref sgta_detector.py debug path)
+    dbg = os.listdir(os.path.join(res_dir, "debug"))
+    assert any(f.endswith("_generic.png") for f in dbg)
+    assert any(f.endswith("_pred_hm.png") for f in dbg)
+    assert any(f.endswith("_pre_hm.png") for f in dbg)
 
 
 @pytest.mark.slow

@@ -93,3 +93,50 @@ def test_batch_decode():
     out = pk.decode_heatmaps_batch(jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(reg))
     assert out.coords.shape == (2, 1, 2)
     assert bool(out.valid.all())
+
+
+def test_coord_mode_logquad_subpixel_exact():
+    """logquad recovers a (float-centered) gaussian's sub-pixel center to
+    ~1e-2 px — exact for a sampled gaussian, unlike the +0.4395-corrected
+    window average; 'mean' averages reg and logquad; selection/sentinel
+    semantics identical across modes. (GT-rendered training maps are
+    INT-centered per reference parity — on those logquad lands on the int
+    peak; the float-centered case models a trained network's output whose
+    blob tracks the true sub-pixel position.)"""
+    centers = [(30.25, 40.75), (60.5, 80.1), (100.9, 20.3)]
+    yy, xx = np.mgrid[0:120, 0:120]
+    hm = np.stack(
+        [
+            np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 2.0**2))
+            for cx, cy in centers
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    reg = np.zeros((120, 120, 2), np.float32)
+    trk = np.zeros((120, 120, 2), np.float32)
+    out_q = pk.decode_heatmaps(
+        jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(trk), coord_mode="logquad"
+    )
+    assert bool(out_q.valid.all())
+    for i, (x, y) in enumerate(centers):
+        np.testing.assert_allclose(np.asarray(out_q.coords[i]), [x, y], atol=0.05)
+
+    out_r = pk.decode_heatmaps(
+        jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(trk), coord_mode="reg"
+    )
+    out_m = pk.decode_heatmaps(
+        jnp.asarray(hm), jnp.asarray(reg), jnp.asarray(trk), coord_mode="mean"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m.coords),
+        0.5 * (np.asarray(out_r.coords) + np.asarray(out_q.coords)),
+        atol=1e-5,
+    )
+    # empty map -> sentinel under every mode
+    z = np.zeros_like(hm)
+    for mode in ("reg", "avg", "logquad", "mean"):
+        out0 = pk.decode_heatmaps(
+            jnp.asarray(z), jnp.asarray(reg), jnp.asarray(trk), coord_mode=mode
+        )
+        assert not bool(out0.valid.any())
+        assert float(np.asarray(out0.coords).max()) < -999.0
