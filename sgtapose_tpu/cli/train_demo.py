@@ -47,6 +47,12 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=317)
     p.add_argument("--ckpt_out", default=None,
                    help="save the trained state (orbax) for offline evals")
+    p.add_argument("--init_ckpt", default=None,
+                   help="warm-start params/batch_stats from a checkpoint "
+                        "(fresh optimizer + schedule — fine-tune mode)")
+    p.add_argument("--reg_weight", type=float, default=0.01,
+                   help="sub-pixel offset loss weight (reference default "
+                        "0.01; raise to sharpen decode precision)")
     return p.parse_args(argv)
 
 
@@ -61,10 +67,19 @@ def main(argv=None):
         train=TrainConfig(lr=args.lr, warmup_iters=min(100, args.steps // 4)),
     )
     state = trainer.create_train_state(cfg, jax.random.PRNGKey(args.seed), max_iters=args.steps)
+    if args.init_ckpt:
+        # fine-tune: take params/batch_stats from the checkpoint, keep the
+        # fresh optimizer + warmup/poly schedule of THIS run
+        donor = trainer.load_checkpoint(os.path.abspath(args.init_ckpt), state)
+        state = state.replace(params=donor.params, batch_stats=donor.batch_stats)
+        print(f"warm-started params from {args.init_ckpt}")
     batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
     raw_fn = jax.jit(functools.partial(synthetic.make_raw_batch, batch_size=args.batch))
     step_fn = jax.jit(
-        functools.partial(trainer.train_step, bf16=args.bf16), donate_argnums=0
+        functools.partial(
+            trainer.train_step, bf16=args.bf16, reg_weight=args.reg_weight
+        ),
+        donate_argnums=0,
     )
 
     print(f"training {args.steps} steps, batch {args.batch}, bf16={args.bf16}")

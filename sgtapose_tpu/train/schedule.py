@@ -22,7 +22,9 @@ def warmup_poly_schedule(
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        k = (1.0 - step / warmup_iters) * (1.0 - warmup_ratio)
+        # warmup_iters == 0 means "no warmup" — guard the 0/0 at step 0,
+        # which otherwise poisons the whole run with a NaN lr
+        k = (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
         warm = base_lr * (1.0 - k)
         poly = base_lr * jnp.maximum(
             1.0 - (step - 1.0) / max_iters, 0.0

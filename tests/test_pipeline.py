@@ -246,3 +246,12 @@ def test_phase_training(raw_batch, phase, arch):
     step = jax.jit(functools.partial(trainer.train_step, phase=phase))
     state, stats = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(stats["tot"]))
+
+
+def test_schedule_zero_warmup_no_nan():
+    """warmup_iters=0 (e.g. tiny --steps in train_demo) must mean 'no
+    warmup', not a 0/0 NaN lr that silently poisons the run."""
+    sched = warmup_poly_schedule(1e-3, max_iters=10, warmup_iters=0)
+    for s in (0, 1, 5):
+        v = float(sched(s))
+        assert np.isfinite(v) and v >= 0.0
