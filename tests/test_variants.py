@@ -145,6 +145,8 @@ def test_global_trains_one_step():
         )[0]
         return jnp.mean(out["hm"] ** 2)
 
-    g = jax.grad(loss_fn)(v["params"])
+    # jit (not eager) so the compiled grad lands in the persistent cache:
+    # eager per-op dispatch of this graph costs ~80 s every run on 1 CPU core
+    g = jax.jit(jax.grad(loss_fn))(v["params"])
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
