@@ -22,9 +22,12 @@ KEYPOINT_NAMES = {
         "panda_link7",
         "panda_hand",
     ],
+    # synthetic-set names exactly as the reference's get_keypoint_names
+    # emits them (ref lib/opts_parallel.py:439-475) so reference-generated
+    # synthetic datasets load unchanged
     "panda_synthetic": [
         "Link0",
-        "Link2",
+        "Link1",
         "Link3",
         "Link4",
         "Link6",
@@ -32,25 +35,25 @@ KEYPOINT_NAMES = {
         "Panda_hand",
     ],
     "kuka": [
-        "iiwa7_link_0",
-        "iiwa7_link_1",
-        "iiwa7_link_2",
-        "iiwa7_link_3",
-        "iiwa7_link_4",
-        "iiwa7_link_5",
-        "iiwa7_link_6",
-        "iiwa7_link_7",
-        "iiwa7_link_ee",
+        "Link0",
+        "Link1",
+        "Link2",
+        "Link3",
+        "Link4",
+        "Link5",
+        "Link6",
+        "Link7",
+        "Kuka_hand",
     ],
     "ur5e": [
-        "base_link",
-        "shoulder_link",
-        "upper_arm_link",
-        "forearm_link",
-        "wrist_1_link",
-        "wrist_2_link",
-        "wrist_3_link",
-        "tool0",
+        "Link0",
+        "Link1",
+        "Link2",
+        "Link3",
+        "Link4",
+        "Link5",
+        "Link6",
+        "Ur_hand",
     ],
 }
 

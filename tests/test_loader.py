@@ -11,7 +11,7 @@ from sgtapose_tpu.data.loader import SeqBatchLoader
 from sgtapose_tpu.data.synthetic import write_synthetic_dataset
 
 TINY = Config(model=ModelConfig(input_res=(64, 64)))
-KP = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
+KP = ["Link0", "Link1", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
 K = np.array([[502.30, 0.0, 319.75], [0.0, 502.30, 179.75], [0.0, 0.0, 1.0]])
 
 

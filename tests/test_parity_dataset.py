@@ -28,7 +28,7 @@ from sgtapose_tpu.data import loaders, pipeline, synthetic  # noqa: E402
 
 import ref_oracle  # noqa: E402
 
-KP_NAMES = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
+KP_NAMES = ["Link0", "Link1", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
 RES = 480
 OUT = RES // 4
 

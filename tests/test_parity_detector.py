@@ -54,7 +54,7 @@ import ref_oracle  # noqa: E402
 
 RES = 192
 CLS = RES // 4
-KP_NAMES = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
+KP_NAMES = ["Link0", "Link1", "Link3", "Link4", "Link6", "Link7", "Panda_hand"]
 CKPT_CACHE = "/root/repo/.cache/detparity_ref%d_v4.pth" % RES
 POOL_BATCHES = 12
 POOL_BATCH = 4
