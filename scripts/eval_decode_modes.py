@@ -15,13 +15,10 @@ import argparse
 import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def main():
@@ -37,11 +34,13 @@ def main():
 
     from sgtapose_tpu.config import Config, InferConfig, ModelConfig
     from sgtapose_tpu.data import synthetic
-    from sgtapose_tpu.eval.analysis import analyze_sequence_results
+    from sgtapose_tpu.eval.synthetic_eval import (
+        evaluate_runner, make_bf16_apply, make_eval_videos,
+    )
     from sgtapose_tpu.infer import detector as det_lib
     from sgtapose_tpu.models.sgta import create_model
     from sgtapose_tpu.train import trainer
-    from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
+    from sgtapose_tpu.utils.precision import bf16_inference_variables
 
     base = Config(
         model=ModelConfig(
@@ -54,19 +53,8 @@ def main():
     variables = bf16_inference_variables(
         {"params": state.params, "batch_stats": state.batch_stats}
     )
-
-    def apply(variables, *inputs):
-        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
-        out = model.apply(variables, *inputs, train=False)
-        return {k: v.astype(jnp.float32) for k, v in out.items()}
-
-    vids = []
-    for v in range(args.videos):
-        rv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 99), v)
-        projs, imgs, pos_cam = synthetic.make_sequence(
-            rv, args.frames, return_pos_cam=True
-        )
-        vids.append((np.asarray(projs), imgs, np.asarray(pos_cam)))
+    apply = make_bf16_apply(model)
+    vids = make_eval_videos(args.videos, args.frames, args.seed)
 
     results = {}
     for mode in args.modes.split(","):
@@ -75,31 +63,14 @@ def main():
             apply, variables, cfg, synthetic.camera_K(),
             raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
         )
-        all_det, all_gt, all_pos = [], [], []
-        t0 = time.time()
-        for projs, imgs, pos_cam in vids:
-            images, _, _ = det_lib.preprocess_frames(imgs, cfg)
-            x3d = jnp.tile(synthetic.SKELETON[None], (args.frames, 1, 1))
-            res = run(det_lib.VideoFrames(images=images, x3d=x3d))
-            all_det.append(np.asarray(res.detected_kps))
-            all_gt.append(projs)
-            all_pos.append(pos_cam)
-        dt = time.time() - t0
-        det = np.concatenate(all_det)
-        gt = np.concatenate(all_gt).astype(np.float32)
-        pos = np.concatenate(all_pos).astype(np.float32)
-        r = analyze_sequence_results(
-            det, gt, pos, np.asarray(synthetic.camera_K()),
-            (synthetic.RAW_W, synthetic.RAW_H),
-            output_dir=None, rf=True, syn=False,
-        )
+        r, fps = evaluate_runner(run, cfg, vids, args.frames)
         km, pm = r["keypoint_metrics"], r["pnp_metrics"]
         results[mode] = (km, pm)
         print(
             f"{mode:8s} PCK={km['l2_error_auc']:.4f} "
             f"L2={km['l2_error_mean_px']:.4f}px "
             f"ADD_AUC={pm['add_auc']:.4f} ADD_mean={pm['add_mean']:.5f}m "
-            f"({args.videos * args.frames / dt:.1f} fps incl compile)",
+            f"({fps:.1f} fps incl compile)",
             flush=True,
         )
     return results

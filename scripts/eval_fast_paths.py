@@ -44,7 +44,7 @@ def main():
     from sgtapose_tpu.infer import detector as det_lib
     from sgtapose_tpu.models.sgta import create_model
     from sgtapose_tpu.train import trainer
-    from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
+    from sgtapose_tpu.utils.precision import bf16_inference_variables
 
     base_cfg = Config(
         model=ModelConfig(
@@ -58,10 +58,9 @@ def main():
         {"params": state.params, "batch_stats": state.batch_stats}
     )
 
-    def apply(variables, *inputs):
-        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
-        out = model.apply(variables, *inputs, train=False)
-        return {k: v.astype(jnp.float32) for k, v in out.items()}
+    from sgtapose_tpu.eval.synthetic_eval import make_bf16_apply
+
+    apply = make_bf16_apply(model)
 
     # held-out synthetic videos (same generator family as train_demo's eval)
     videos = []

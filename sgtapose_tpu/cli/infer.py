@@ -150,16 +150,28 @@ def _write_debug_images(args, out: DetOut, imgs_np, vname, frame_names,
     """Per-frame debug artifacts when --debug > 0 (ref sgta_detector.py:
     960-1032 debug path): 'generic' raw frame + detections + tracking arrows
     (+ track ids under --track), 'pred_hm' blend of the class-colored center
-    heatmaps, 'pre_hm' blend of the rendered temporal prior."""
+    heatmaps, 'pre_hm' blend of the rendered temporal prior. The heatmap
+    blends are drawn over the WARPED network-input image (as the reference
+    does) — the heatmaps live in the centered-square warp frame, so resizing
+    them onto the raw rectangle would misplace every blob on non-square
+    videos."""
+    from sgtapose_tpu.core import geometry
     from sgtapose_tpu.utils.debugger import Debugger
 
     dbg_dir = os.path.join(args.output_dir, "debug")
     K = out.det.shape[1]
     dbg = Debugger(num_classes=K)
+    need_warp = out.debug_hm is not None or out.debug_pre_hm is not None
+    if need_warp:
+        H_raw, W_raw = imgs_np.shape[1], imgs_np.shape[2]
+        in_res = int(args.input_res)
+        trans_in = geometry.get_affine_transform(
+            jnp.array([W_raw / 2.0, H_raw / 2.0], jnp.float32),
+            float(max(H_raw, W_raw)), 0.0, (in_res, in_res),
+        )
     for t, fname in enumerate(frame_names):
         dbg.clear()
         img = imgs_np[t]
-        wh = (img.shape[1], img.shape[0])
         dbg.add_img(img, "generic")
         kps = out.det[t]
         dbg.add_keypoints(
@@ -174,14 +186,23 @@ def _write_debug_images(args, out: DetOut, imgs_np, vname, frame_names,
             for k in range(K):
                 if kps[k, 0] > -999.0:
                     dbg.add_tracking_id(kps[k], int(ids[t][k]), "generic")
-        if out.debug_hm is not None:
-            dbg.add_blend_img(
-                img, dbg.gen_colormap(out.debug_hm[t], output_res=wh), "pred_hm"
-            )
-        if out.debug_pre_hm is not None:
-            dbg.add_blend_img(
-                img, dbg.gen_colormap(out.debug_pre_hm[t], output_res=wh), "pre_hm"
-            )
+        if need_warp:
+            warped = np.asarray(geometry.warp_affine(
+                jnp.asarray(img, jnp.float32), trans_in, (in_res, in_res)
+            ))
+            in_wh = (in_res, in_res)
+            if out.debug_hm is not None:
+                dbg.add_blend_img(
+                    warped,
+                    dbg.gen_colormap(out.debug_hm[t], output_res=in_wh),
+                    "pred_hm",
+                )
+            if out.debug_pre_hm is not None:
+                dbg.add_blend_img(
+                    warped,
+                    dbg.gen_colormap(out.debug_pre_hm[t], output_res=in_wh),
+                    "pre_hm",
+                )
         dbg.save_all_imgs(dbg_dir, prefix=f"{vname}_{fname}_")
 
 
@@ -409,6 +430,14 @@ def run_depth(args, cfg: Config, model, variables):
     then the same metric harness with 42 classes (ref
     analyze_ndds_center_dream_ours_42_dataset, analysis.py:1073-1548)."""
     import glob
+    import warnings
+
+    if getattr(args, "debug", 0) or getattr(args, "track", False):
+        warnings.warn(
+            "--debug/--track are not supported in --depth mode (the "
+            "reference depth path has neither, ref inference.py:407-522); "
+            "ignoring"
+        )
 
     set_dir = (
         os.path.join(args.dataset, args.is_real) if args.is_real else args.dataset

@@ -20,11 +20,11 @@ import numpy as np
 
 from sgtapose_tpu.config import Config, ModelConfig, TrainConfig
 from sgtapose_tpu.data import pipeline, synthetic
-from sgtapose_tpu.eval.analysis import analyze_sequence_results
+
 from sgtapose_tpu.infer import detector as det_lib
 from sgtapose_tpu.models.sgta import create_model
 from sgtapose_tpu.train import trainer
-from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
+from sgtapose_tpu.utils.precision import bf16_inference_variables
 
 
 def parse_args(argv=None):
@@ -105,44 +105,22 @@ def main(argv=None):
         return None
 
     # ---- streaming eval on held-out synthetic videos -------------------------
+    from sgtapose_tpu.eval.synthetic_eval import (
+        evaluate_runner, make_bf16_apply, make_eval_videos,
+    )
+
     model = create_model(cfg.model)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     variables = bf16_inference_variables(variables)
 
-    def apply(variables, *inputs):
-        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
-        out = model.apply(variables, *inputs, train=False)
-        return {k: v.astype(jnp.float32) for k, v in out.items()}
-
     run = det_lib.make_video_detector(
-        apply, variables, cfg, synthetic.camera_K(),
+        make_bf16_apply(model), variables, cfg, synthetic.camera_K(),
         raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
     )
-    all_det, all_gt, all_pos = [], [], []
-    t0 = time.time()
-    n_frames = 0
-    for v in range(args.eval_videos):
-        rv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 99), v)
-        projs, imgs, pos_cam = synthetic.make_sequence(
-            rv, args.eval_frames, return_pos_cam=True
-        )
-        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
-        x3d = jnp.tile(synthetic.SKELETON[None], (args.eval_frames, 1, 1))
-        res = run(det_lib.VideoFrames(images=images, x3d=x3d))
-        all_det.append(np.asarray(res.detected_kps))
-        all_gt.append(np.asarray(projs))
-        all_pos.append(np.asarray(pos_cam))
-        n_frames += args.eval_frames
-    dt_eval = time.time() - t0
-    print(f"eval inference: {n_frames} frames in {dt_eval:.1f}s ({n_frames/dt_eval:.1f} fps)")
-
-    det = np.concatenate(all_det)
-    gt = np.concatenate(all_gt).astype(np.float32)
-    pos = np.concatenate(all_pos).astype(np.float32)
-    results = analyze_sequence_results(
-        det, gt, pos, np.asarray(synthetic.camera_K()),
-        (synthetic.RAW_W, synthetic.RAW_H), output_dir=None, rf=True, syn=False,
-    )
+    vids = make_eval_videos(args.eval_videos, args.eval_frames, args.seed)
+    results, fps = evaluate_runner(run, cfg, vids, args.eval_frames)
+    n_frames = args.eval_videos * args.eval_frames
+    print(f"eval inference: {n_frames} frames ({fps:.1f} fps)")
     km, pm = results["keypoint_metrics"], results["pnp_metrics"]
     print(f"found in-frame: {km['num_found_gt_inframe']}/{km['num_gt_inframe']}")
     print(f"PCK AUC@12px: {km['l2_error_auc']}")

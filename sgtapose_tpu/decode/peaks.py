@@ -242,7 +242,9 @@ def decode_heatmaps(
     reg_at = reg[iy, ix]  # (C, 2)
     trk_at = tracking[iy, ix]
     if not use_reg:
-        coord_mode = "avg"
+        # no reg head (DREAM baselines): reg-dependent modes fall back to the
+        # DREAM windowed average; the heatmap-only "logquad" stays available
+        coord_mode = "logquad" if coord_mode == "logquad" else "avg"
     if coord_mode in ("logquad", "mean"):
         blurred_cf = blurred.transpose(2, 0, 1)  # (C, H, W)
         bx = take(px, best)

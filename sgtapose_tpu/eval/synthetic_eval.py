@@ -1,0 +1,77 @@
+"""Shared synthetic-video evaluation harness.
+
+One implementation of the held-out-synthetic eval loop used by the training
+demo (cli/train_demo.py), the decode-estimator A/B (scripts/
+eval_decode_modes.py), and the fast-path A/B (scripts/eval_fast_paths.py):
+bf16 inference apply wrapper, the seed+99 held-out video family, and the
+detector-run -> analyze_sequence_results plumbing. The eval video generator
+is deliberately a different fold of the seed than training (fold_in(seed+99))
+so evals are held out from train_demo's data stream.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgtapose_tpu.config import Config
+from sgtapose_tpu.data import synthetic
+from sgtapose_tpu.eval.analysis import analyze_sequence_results
+from sgtapose_tpu.infer import detector as det_lib
+from sgtapose_tpu.utils.precision import cast_floating
+
+
+def make_bf16_apply(model) -> Callable:
+    """Inference apply fn: bf16 inputs/compute, f32 head outputs."""
+
+    def apply(variables, *inputs):
+        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
+        out = model.apply(variables, *inputs, train=False)
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+    return apply
+
+
+def make_eval_videos(
+    n_videos: int, n_frames: int, seed: int
+) -> List[Tuple[np.ndarray, jnp.ndarray, np.ndarray]]:
+    """Held-out synthetic videos: [(gt_projs, raw_imgs, gt_pos_cam), ...]."""
+    vids = []
+    for v in range(n_videos):
+        rv = jax.random.fold_in(jax.random.PRNGKey(seed + 99), v)
+        projs, imgs, pos_cam = synthetic.make_sequence(
+            rv, n_frames, return_pos_cam=True
+        )
+        vids.append((np.asarray(projs), imgs, np.asarray(pos_cam)))
+    return vids
+
+
+def evaluate_runner(run, cfg: Config, vids, n_frames: int, rf: bool = True):
+    """Drive a video runner over pre-generated vids; return (results, fps).
+
+    run: fn(VideoFrames) -> FrameResult (e.g. make_video_detector output).
+    fps includes any first-call compile (callers that want steady-state
+    timing should warm `run` first)."""
+    all_det, all_gt, all_pos = [], [], []
+    t0 = time.time()
+    for projs, imgs, pos_cam in vids:
+        images, _, _ = det_lib.preprocess_frames(imgs, cfg)
+        x3d = jnp.tile(synthetic.SKELETON[None], (n_frames, 1, 1))
+        res = run(det_lib.VideoFrames(images=images, x3d=x3d))
+        all_det.append(np.asarray(res.detected_kps))
+        all_gt.append(projs)
+        all_pos.append(pos_cam)
+    dt = time.time() - t0
+    det = np.concatenate(all_det)
+    gt = np.concatenate(all_gt).astype(np.float32)
+    pos = np.concatenate(all_pos).astype(np.float32)
+    results = analyze_sequence_results(
+        det, gt, pos, np.asarray(synthetic.camera_K()),
+        (synthetic.RAW_W, synthetic.RAW_H), output_dir=None, rf=rf, syn=False,
+    )
+    fps = len(vids) * n_frames / max(dt, 1e-9)
+    return results, fps

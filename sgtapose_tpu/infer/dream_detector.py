@@ -46,6 +46,9 @@ def make_dream_detector(model_apply, variables, cfg: Config, raw_wh: Tuple[int, 
                 sigma=cfg.infer.peak_sigma,
                 use_reg=False,
                 ref_sort=cfg.infer.ref_sort,
+                # no reg head here: "logquad" is honored, reg-dependent
+                # modes fall back to the DREAM windowed average (see decode)
+                coord_mode=cfg.infer.decode_coord,
             )
 
         dec = jax.vmap(decode_one)(hm)

@@ -22,13 +22,16 @@ def warmup_poly_schedule(
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        # warmup_iters == 0 means "no warmup" — guard the 0/0 at step 0,
-        # which otherwise poisons the whole run with a NaN lr
+        # warmup_iters == 0 means "no warmup": take the poly branch from
+        # step 0 (the ramp would otherwise 0/0-NaN at step 0, and even a
+        # guarded ramp would spend step 0 at base_lr*warmup_ratio)
         k = (1.0 - step / max(warmup_iters, 1)) * (1.0 - warmup_ratio)
         warm = base_lr * (1.0 - k)
         poly = base_lr * jnp.maximum(
             1.0 - (step - 1.0) / max_iters, 0.0
         ) ** power
+        if warmup_iters <= 0:
+            return poly
         return jnp.where(step <= warmup_iters, warm, poly)
 
     return schedule

@@ -49,7 +49,7 @@ class Debugger:
         while len(base) < num_classes:  # deterministic palette extension
             i = len(base)
             base.append(tuple(int(v) % 256 for v in (37 * i + 89, 91 * i + 43, 53 * i + 157)))
-        self.colors = np.asarray(base[:max(num_classes, len(base))], np.uint8)
+        self.colors = np.asarray(base, np.uint8)
 
     # ---- registry ------------------------------------------------------------
 
@@ -66,15 +66,17 @@ class Debugger:
     # ---- colormaps -----------------------------------------------------------
 
     def _colormap(self, hm: np.ndarray, palette: np.ndarray,
-                  output_res: Optional[Tuple[int, int]] = None) -> np.ndarray:
-        """(H, W, C) or (C, H, W) float heatmap -> (H_out, W_out, 3) uint8:
-        per-class color scaled by intensity, max-composited over classes
-        (ref gen_colormap debugger.py:83-114 — sum-composited there; max keeps
-        overlapping gaussians readable and bounded)."""
+                  output_res: Optional[Tuple[int, int]] = None,
+                  channel_first: bool = False) -> np.ndarray:
+        """(H, W, C) float heatmap (or (C, H, W) with channel_first=True) ->
+        (H_out, W_out, 3) uint8: per-class color scaled by intensity,
+        max-composited over classes (ref gen_colormap debugger.py:83-114 —
+        sum-composited there; max keeps overlapping gaussians readable and
+        bounded)."""
         hm = np.asarray(hm, np.float32)
         if hm.ndim == 2:
             hm = hm[..., None]
-        if hm.shape[0] <= 64 and hm.shape[0] < hm.shape[-1]:  # (C, H, W)
+        if channel_first:  # the reference passes (C, H, W)
             hm = np.moveaxis(hm, 0, -1)
         hm = np.clip(hm, 0.0, 1.0)
         C = hm.shape[-1]
@@ -90,15 +92,19 @@ class Debugger:
         return out
 
     def gen_colormap(self, hm: np.ndarray,
-                     output_res: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                     output_res: Optional[Tuple[int, int]] = None,
+                     channel_first: bool = False) -> np.ndarray:
         """Center-heatmap colormap (ref debugger.py:83-99)."""
-        return self._colormap(hm, self.colors, output_res)
+        return self._colormap(hm, self.colors, output_res, channel_first)
 
     def gen_colormap_hp(self, hm: np.ndarray,
-                        output_res: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                        output_res: Optional[Tuple[int, int]] = None,
+                        channel_first: bool = False) -> np.ndarray:
         """Keypoint-heatmap colormap (ref debugger.py:101-114); same palette
         family, rolled so hp classes are visually distinct from hm classes."""
-        return self._colormap(hm, np.roll(self.colors, 3, axis=0), output_res)
+        return self._colormap(
+            hm, np.roll(self.colors, 3, axis=0), output_res, channel_first
+        )
 
     # ---- composites ----------------------------------------------------------
 
@@ -143,18 +149,18 @@ class Debugger:
                       radius: int = 4,
                       scores: Optional[np.ndarray] = None) -> None:
         """Class-colored keypoint dots (the sgtapose stand-in for
-        ref add_coco_hp debugger.py:187-202); sentinel (<-999) rows skipped."""
-        pil, draw = self._draw(img_id)
-        for i, pt in enumerate(np.asarray(points, np.float32)):
-            x, y = float(pt[0]), float(pt[1])
-            if x < -999.0 or y < -999.0:
-                continue
-            c = tuple(int(v) for v in self.colors[i % len(self.colors)])
-            draw.ellipse([x - radius, y - radius, x + radius, y + radius],
-                         fill=c, outline=(255, 255, 255))
-            if scores is not None:
-                draw.text((x + radius + 1, y - radius),
-                          f"{float(scores[i]):.2f}", fill=c)
+        ref add_coco_hp debugger.py:187-202); sentinel (<-999) rows skipped.
+        Delegates to visualize.overlay_points_on_image (one drawing impl)."""
+        from sgtapose_tpu.utils.visualize import overlay_points_on_image
+
+        if img_id not in self.imgs:
+            raise KeyError(f"no image {img_id!r}; call add_img first")
+        ann = None if scores is None else [f"{float(s):.2f}" for s in scores]
+        pil = overlay_points_on_image(
+            self.imgs[img_id], np.asarray(points, np.float32),
+            annotations=ann, point_diameter=2 * radius,
+            colors=[tuple(int(v) for v in c) for c in self.colors],
+        )
         self.imgs[img_id] = np.asarray(pil)
 
     def add_arrow(self, st: Sequence[float], ed: Sequence[float],

@@ -41,9 +41,10 @@ def test_colormap_shapes_and_peaks(img):
     assert cm.shape == (48, 64, 3) and cm.dtype == np.uint8
     # the peak pixel region carries class 2's color, the rest is black
     assert cm.max() > 100 and cm[0, 0].sum() == 0
-    # channel-first input accepted too (ref passes (C, H, W))
-    cm2 = d.gen_colormap(np.moveaxis(hm, -1, 0))
+    # channel-first input accepted too (ref passes (C, H, W)) — explicit flag
+    cm2 = d.gen_colormap(np.moveaxis(hm, -1, 0), channel_first=True)
     assert cm2.shape == (12, 16, 3)
+    np.testing.assert_array_equal(cm2, d.gen_colormap(hm))
     cm_hp = d.gen_colormap_hp(hm)
     assert cm_hp.shape == (12, 16, 3)
     # hp palette is rolled: peak color differs from the hm palette's

@@ -255,3 +255,5 @@ def test_schedule_zero_warmup_no_nan():
     for s in (0, 1, 5):
         v = float(sched(s))
         assert np.isfinite(v) and v >= 0.0
+    # and genuinely NO warmup: step 0 trains at (near-)base lr, not ~0
+    assert float(sched(0)) > 1e-4
