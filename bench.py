@@ -39,6 +39,29 @@ def main():
                          "(adds two heavy compiles; full matrix recorded in "
                          "docs/PERF.md)")
     args = ap.parse_args()
+
+    # The axon tunnel can be DOWN for hours, and jax.devices() then hangs
+    # indefinitely inside backend init — probe it in a bounded subprocess so
+    # a broken tunnel fails this bench fast and loudly instead of stalling
+    # the harness (observed 2026-08-17: >3 h outage).
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=180, capture_output=True,
+        )
+        probe_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(
+            "bench.py: no usable JAX backend (device init failed or timed "
+            "out — TPU tunnel down?); refusing to emit a bogus number.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.infer import detector as det_lib
