@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=317)
     p.add_argument("--ckpt_out", default=None,
                    help="save the trained state (orbax) for offline evals")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="with --ckpt_out, also save every N steps to "
+                        "<ckpt_out>_stepN (crash safety for long runs)")
     p.add_argument("--init_ckpt", default=None,
                    help="warm-start params/batch_stats from a checkpoint "
                         "(fresh optimizer + schedule — fine-tune mode)")
@@ -93,8 +96,17 @@ def main(argv=None):
             s = {k2: float(np.asarray(v)) for k2, v in stats.items()}
             print(
                 f"step {it}: " + " ".join(f"{k2}={v:.5f}" for k2, v in s.items())
-                + f"  ({(time.time()-t0):.0f}s)"
+                + f"  ({(time.time()-t0):.0f}s)",
+                flush=True,
             )
+        if (
+            args.ckpt_out and args.ckpt_every
+            and it > 0 and it % args.ckpt_every == 0
+        ):
+            trainer.save_checkpoint(
+                os.path.abspath(f"{args.ckpt_out}_step{it}"), state
+            )
+            print(f"saved checkpoint -> {args.ckpt_out}_step{it}", flush=True)
     print(f"training done in {time.time()-t0:.0f}s")
     if args.ckpt_out:
         trainer.save_checkpoint(os.path.abspath(args.ckpt_out), state)

@@ -205,6 +205,17 @@ def video_dir(tmp_path_factory):
     return os.path.join(tmp, "00000")
 
 
+@pytest.fixture(scope="module")
+def video_dir_strict(tmp_path_factory):
+    """Video where every keypoint projects WELL inside the raw frame on every
+    frame (seed probed for >=10 px margins), so no prior class map is ever
+    all-zero and the reference's behavior is fully well-defined (see the
+    torch.topk tie-order note on test_teacher_forced_parity_strict)."""
+    tmp = str(tmp_path_factory.mktemp("detparity_strict"))
+    synthetic.write_synthetic_dataset(tmp, n_videos=1, n_frames=12, seed=18)
+    return os.path.join(tmp, "00000")
+
+
 def _run_reference_detector(ckpt_path, video_dir, teacher=None):
     """The reference's production per-frame loop, frame by frame.
 
@@ -305,33 +316,82 @@ def _gt_projections(video_dir):
     return np.stack(gts)
 
 
-def _make_teacher(video_dir, seed=13, noise_px=2.0):
+def _prior_divergence(video_dir, teacher):
+    """Per-frame distance (raw px, mean over keypoints) between the
+    reference's prior reprojection (geometric_vision.is_pnp — cv2
+    EPnP+ITERATIVE inside solve_pnp) and ours
+    (core.pnp.pnp_reprojection_prior — multi-init DLT+LM) on the SAME
+    teacher detections. Computed directly on the prior inputs, independent
+    of either model forward: frames where the two solvers land in different
+    optima are the documented irreducible gap, and everything downstream of
+    a diverged prior legitimately differs. Which frames diverge depends on
+    the noise draw and on BLAS-level rounding, so the set is machine- and
+    fixture-dependent — the classifier, not a pinned count, is the stable
+    statement of parity."""
+    from sgtapose_tpu.core import pnp as pnp_lib
+
+    ref_oracle.ensure_ref_detector_importable()
+    gv = sys.modules["sgtapose"].geometric_vision
+
+    frames = sorted(f[:-len("_color.png")] for f in os.listdir(video_dir)
+                    if f.endswith("_color.png"))
+    K = np.asarray(SYNTHETIC_CAMERA_K)
+    x3d = np.stack([
+        loaders.load_seq_keypoints(
+            os.path.join(video_dir, f + "_meta.json"),
+            "panda_synthetic", KP_NAMES, K,
+        )["positions_wrt_robot"]
+        for f in frames
+    ])
+    T = teacher.shape[0]
+    div = np.zeros(T)
+    for t in range(1, T):
+        valid = np.all(teacher[t] > det_lib.KP_SENTINEL + 1e-6, axis=1)
+        if valid.sum() < 4:
+            continue
+        _, ref_est = gv.is_pnp(
+            np.asarray(x3d[t - 1], np.float64)[valid],
+            np.asarray(teacher[t], np.float64)[valid],
+            np.asarray(x3d[t], np.float64),
+            np.asarray(teacher[t], np.float64),
+            np.asarray(K, np.float64),
+        )
+        ok, our_est, _ = pnp_lib.pnp_reprojection_prior(
+            jnp.asarray(x3d[t - 1], jnp.float32),
+            jnp.asarray(teacher[t], jnp.float32),
+            jnp.asarray(x3d[t], jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(valid),
+        )
+        # both sides fall back to the teacher detections on PnP failure
+        # (is_pnp returns prev_kp_projs_all; the detector reuses prior_kps)
+        our = np.where(bool(ok), np.asarray(our_est, np.float64), teacher[t])
+        div[t] = float(np.mean(np.linalg.norm(our - np.asarray(ref_est), axis=1)))
+    return div
+
+
+def _make_teacher(video_dir, seed=13, noise_px=2.0, dropout=True):
     """Plausible 'previous-frame detections' per frame: GT projections of
-    frame t-1 + seeded noise, one class dropped per frame (rotating), frame 0
-    all-sentinel (cold start -> zero priors on both sides)."""
+    frame t-1 + seeded noise, frame 0 all-sentinel (cold start -> zero priors
+    on both sides). dropout=True additionally drops one class per frame
+    (rotating) — which makes that class's prior map all-zero and puts the
+    reference into its implementation-defined torch.topk tie-order regime
+    (see test_teacher_forced_parity_strict)."""
     gts = _gt_projections(video_dir)
     T, K, _ = gts.shape
     rng = np.random.RandomState(seed)
     teacher = np.full((T, K, 2), det_lib.KP_SENTINEL)
     for t in range(1, T):
         teacher[t] = gts[t - 1] + rng.randn(K, 2) * noise_px
-        teacher[t, (t - 1) % K] = det_lib.KP_SENTINEL  # rotating dropout
+        if dropout:
+            teacher[t, (t - 1) % K] = det_lib.KP_SENTINEL  # rotating dropout
     return teacher
 
 
-def test_teacher_forced_detector_parity(functional_ckpt, video_dir):
-    """Per-frame parity of the FULL pipeline (prior PnP -> prior rendering ->
-    Siamese forward -> decode -> inverse affine) with both implementations fed
-    the SAME prior detections each frame. Teacher forcing removes the chaotic
-    closed-loop feedback (where any epsilon implementation difference — or
-    even a different BLAS — diverges on a weak model), so this bounds the
-    actual implementation gap frame-by-frame, every frame independently."""
-    teacher = _make_teacher(video_dir)
-    ref_kps = _run_reference_detector(functional_ckpt, video_dir, teacher)
-    our_kps = _run_our_detector(functional_ckpt, video_dir, teacher)
+def _compare_runs(ref_kps, our_kps):
+    """Per-frame (mean, max) drift over jointly-detected keypoints + mask
+    mismatch count."""
     T = ref_kps.shape[0]
-    assert our_kps.shape == ref_kps.shape
-
     sent = det_lib.KP_SENTINEL
     per_frame = []
     n_both = n_mask_mismatch = 0
@@ -344,26 +404,93 @@ def test_teacher_forced_detector_parity(functional_ckpt, video_dir):
         d = (np.linalg.norm(ref_kps[t][both] - our_kps[t][both], axis=1)
              if both.any() else np.array([0.0]))
         per_frame.append((t, float(np.mean(d)), float(np.max(d))))
-    print("\nteacher-forced per-frame (frame, mean px, max px):", per_frame)
+    return per_frame, n_both, n_mask_mismatch
+
+
+def test_teacher_forced_parity_strict(functional_ckpt, video_dir_strict):
+    """Per-frame parity of the FULL pipeline (prior PnP -> prior rendering ->
+    Siamese forward -> decode -> inverse affine) with both implementations fed
+    the SAME prior detections each frame. Teacher forcing removes the chaotic
+    closed-loop feedback (where any epsilon implementation difference — or
+    even a different BLAS — diverges on a weak model), so this bounds the
+    actual implementation gap frame-by-frame, every frame independently.
+
+    This is the STRICT variant: the video keeps every keypoint >=10 px inside
+    the raw frame and the teacher never drops a class, so no prior class map
+    is ever all-zero and the reference's behavior is fully well-defined.
+    (When a class's prior map IS all-zero, the reference's get_topk_index —
+    dla.py:898-913 — runs torch.topk on all-equal values, whose tie order is
+    implementation-defined: torch CPU returns heap order (8,10,4,15,... for
+    K=16), CUDA radix sort returns something else again, and our lax.top_k
+    returns ascending indices. The window-attention keys then differ between
+    the reference's OWN backends, let alone vs ours — debugged empirically:
+    all four prior tensors match to 2e-6 on drift frames while detections
+    drift px-scale. That regime is exercised by
+    test_teacher_forced_dropout_bounded instead.)
+
+    The only remaining legitimate divergence here is the prior-PnP solver
+    basin (cv2 EPnP+ITERATIVE vs our multi-init DLT+LM on noisy teacher
+    correspondences), classified per-frame by _prior_divergence: frames whose
+    priors agree to <1 raw px must match to <0.3 px mean."""
+    teacher = _make_teacher(video_dir_strict, dropout=False)
+    ref_kps = _run_reference_detector(functional_ckpt, video_dir_strict, teacher)
+    our_kps = _run_our_detector(functional_ckpt, video_dir_strict, teacher)
+    prior_div = _prior_divergence(video_dir_strict, teacher)
+    T = ref_kps.shape[0]
+    assert our_kps.shape == ref_kps.shape
+
+    per_frame, n_both, n_mask_mismatch = _compare_runs(ref_kps, our_kps)
+    print("\nstrict per-frame (frame, mean px, max px):", per_frame)
+    print("prior-PnP solver divergence (raw px):",
+          [round(float(d), 3) for d in prior_div])
+    print(f"joint detections {n_both}/{T * 7}, mask mismatches {n_mask_mismatch}")
+
+    assert n_both >= T * 4, f"too few joint detections: {n_both}"
+    means = np.array([m for _, m, _ in per_frame])
+    # frame 0: zero priors, pure preprocess+forward+decode parity
+    assert per_frame[0][1] < 0.3, per_frame
+    agree = prior_div < 1.0
+    agree[0] = True  # frame 0: zero priors on both sides
+    n_agree = int(agree.sum())
+    # with 7 clean correspondences the solvers should almost always land in
+    # the same optimum; allow at most one basin flip
+    assert n_agree >= T - 1, (n_agree, prior_div.tolist())
+    bad = [(t, means[t], prior_div[t]) for t in range(T)
+           if agree[t] and means[t] >= 0.3]
+    assert not bad, (bad, per_frame)
+    assert means.max() < 40.0, per_frame
+
+
+def test_teacher_forced_dropout_bounded(functional_ckpt, video_dir):
+    """Teacher forcing WITH rotating per-frame class dropout: the dropped
+    class's prior map is all-zero, which puts the reference into its
+    implementation-defined torch.topk tie-order regime (see the strict test's
+    docstring — the reference's CPU and CUDA builds diverge from EACH OTHER
+    here). Exact parity is therefore not well-defined on such frames; this
+    test bounds the behavior instead: detectors stay live, detection masks
+    mostly agree, and drift stays bounded while most frames still match at
+    exact grade in practice."""
+    teacher = _make_teacher(video_dir)
+    ref_kps = _run_reference_detector(functional_ckpt, video_dir, teacher)
+    our_kps = _run_our_detector(functional_ckpt, video_dir, teacher)
+    T = ref_kps.shape[0]
+    assert our_kps.shape == ref_kps.shape
+
+    per_frame, n_both, n_mask_mismatch = _compare_runs(ref_kps, our_kps)
+    print("\ndropout per-frame (frame, mean px, max px):", per_frame)
     print(f"joint detections {n_both}/{T * 7}, mask mismatches {n_mask_mismatch}")
 
     assert n_both >= T * 4, f"too few joint detections: {n_both}"
     # mask flips are score-threshold sensitivity (ambiguity-gap comparisons
     # right at 0.25 / weak peaks at peak_thresh flip on 1e-4 heatmap noise
-    # while the agreed positions match to <0.2 px); measured 16/84 on the
-    # pinned fixture
+    # while the agreed positions match to <0.2 px); measured 13-16/84
     assert n_mask_mismatch <= 2 * T, (n_mask_mismatch, per_frame)
     means = np.array([m for _, m, _ in per_frame])
     # frame 0: zero priors, pure preprocess+forward+decode parity
     assert per_frame[0][1] < 0.3, per_frame
-    # teacher-forced frames: SUB-0.3-PX mean agreement on all but at most two
-    # frames; the rare exceptions are the documented irreducible gap — the
-    # prior PnP landing in a different optimum (cv2 EPnP+ITERATIVE vs our
-    # multi-init DLT+LM) on noisy teacher correspondences, which shifts the
-    # prior-conditioned detections. Measured: 11/12 frames <= 0.21 px mean,
-    # one solver-basin frame at ~15 px mean / ~36 px max.
-    n_exact = int(np.sum(means < 0.3))
-    assert n_exact >= T - 2, (n_exact, per_frame)
+    # most frames still match at exact grade (tie-order divergence only
+    # matters when the trained weights are sensitive to the affected class)
+    assert int(np.sum(means < 0.3)) >= T // 2 + 1, per_frame
     assert means.max() < 40.0, per_frame
 
 
