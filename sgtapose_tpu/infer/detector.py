@@ -309,6 +309,35 @@ def make_batched_video_detector(model_apply, variables, cfg, camera_K, raw_hw,
     return jax.jit(jax.vmap(runner))
 
 
+def make_sharded_video_detector(model_apply, variables, cfg, camera_K, raw_hw,
+                                mesh, phase: str = "PlanA_win"):
+    """Multi-chip serving: a batch of videos sharded across a device mesh.
+
+    Each device runs the full streaming recurrence (scan over frames) on its
+    shard of the video batch; params replicate, and there are ZERO
+    collectives in the hot loop — video-level inference is embarrassingly
+    parallel, the multi-chip equivalent of the reference's
+    one-process-per-GPU serving. Single-chip batched throughput is measured
+    in docs/PERF.md (bench.py --full); this is the production-fill
+    configuration for full v5e pods where one video cannot saturate a chip.
+
+    fn(stacked VideoFrames, leading video dim divisible by mesh size)
+    -> stacked FrameResult (sharded; np.asarray gathers to host)."""
+    from sgtapose_tpu.parallel import mesh as mesh_lib
+
+    runner = _build_video_runner(model_apply, variables, cfg, camera_K, raw_hw, phase)
+    fn = jax.jit(jax.vmap(runner))
+
+    def run(videos: VideoFrames) -> FrameResult:
+        n = videos.images.shape[0]
+        n_dev = mesh.devices.size
+        if n % n_dev:
+            raise ValueError(f"video batch {n} not divisible by mesh size {n_dev}")
+        return fn(mesh_lib.shard_batch(videos, mesh))
+
+    return run
+
+
 def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
     """Feature-cache fast path (docs/PERF.md): frame t reuses frame t-1's
     current-pass trunk features as its previous-pass features, so the trunk

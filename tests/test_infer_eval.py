@@ -332,3 +332,27 @@ def test_batched_video_detector_matches_single():
             np.asarray(batched.detected_kps[v]),
             np.asarray(single.detected_kps), atol=1e-4,
         )
+
+    # multi-chip serving path: videos sharded across the 8-device mesh give
+    # the same per-video results (zero collectives in the hot loop)
+    from sgtapose_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(8)
+    run_sharded = det_lib.make_sharded_video_detector(
+        apply, variables, TINY, synthetic.camera_K(),
+        raw_hw=(synthetic.RAW_H, synthetic.RAW_W), mesh=mesh,
+    )
+    sharded = run_sharded(det_lib.VideoFrames(
+        images=jnp.broadcast_to(images, (8,) + images.shape),
+        x3d=jnp.broadcast_to(x3d, (8,) + x3d.shape),
+    ))
+    for v in (0, 3, 7):
+        np.testing.assert_allclose(
+            np.asarray(sharded.detected_kps[v]),
+            np.asarray(single.detected_kps), atol=1e-4,
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        run_sharded(det_lib.VideoFrames(
+            images=jnp.broadcast_to(images, (3,) + images.shape),
+            x3d=jnp.broadcast_to(x3d, (3,) + x3d.shape),
+        ))
