@@ -453,8 +453,9 @@ def test_teacher_forced_parity_strict(functional_ckpt, video_dir_strict):
     agree[0] = True  # frame 0: zero priors on both sides
     n_agree = int(agree.sum())
     # with 7 clean correspondences the solvers should almost always land in
-    # the same optimum; allow at most one basin flip
-    assert n_agree >= T - 1, (n_agree, prior_div.tolist())
+    # the same optimum (measured: 1 basin flip in 11 frames); allow two for
+    # robustness to fixture retrains on other hosts/BLAS
+    assert n_agree >= T - 2, (n_agree, prior_div.tolist())
     bad = [(t, means[t], prior_div[t]) for t in range(T)
            if agree[t] and means[t] >= 0.3]
     assert not bad, (bad, per_frame)
@@ -488,9 +489,12 @@ def test_teacher_forced_dropout_bounded(functional_ckpt, video_dir):
     means = np.array([m for _, m, _ in per_frame])
     # frame 0: zero priors, pure preprocess+forward+decode parity
     assert per_frame[0][1] < 0.3, per_frame
-    # most frames still match at exact grade (tie-order divergence only
-    # matters when the trained weights are sensitive to the affected class)
-    assert int(np.sum(means < 0.3)) >= T // 2 + 1, per_frame
+    # a solid fraction of frames still match at exact grade (tie-order
+    # divergence only manifests when the trained weights are sensitive to
+    # the affected class — measured 8/12 exact, but in the worst case every
+    # dropped-class frame plus a basin flip could drift, so this bound is
+    # deliberately loose; exactness is owned by the strict test)
+    assert int(np.sum(means < 0.3)) >= T // 3, per_frame
     assert means.max() < 40.0, per_frame
 
 
