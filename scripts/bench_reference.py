@@ -62,8 +62,9 @@ def main():
     torch.save({"epoch": 20, "state_dict": model.state_dict()}, ckpt_path)
     opt.load_model = ckpt_path
 
-    kp_names = ["Link0", "Link2", "Link3", "Link4", "Link6", "Link7",
-                "Panda_hand"]
+    from sgtapose_tpu.config import KEYPOINT_NAMES
+
+    kp_names = list(KEYPOINT_NAMES["panda_synthetic"])
     detector = SGTADetector(opt, kp_names, is_real=False, is_ct=True)
 
     import cv2

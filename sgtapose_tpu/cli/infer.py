@@ -76,6 +76,12 @@ def parse_args(argv=None):
                         "path via utils/debugger.py")
     p.add_argument("--hungarian", action="store_true",
                    help="Hungarian instead of greedy association (--track)")
+    p.add_argument("--track_gate", type=float, default=0.2,
+                   help="association distance gate in raw px (--track). The "
+                        "reference hardcodes 0.2 (tracker.py:38-46, squared "
+                        "0.04 gate on squared distances), which is below "
+                        "real detection jitter and fragments tracks; raise "
+                        "to ~2-5 px for usable ids")
     return p.parse_args(argv)
 
 
@@ -141,8 +147,67 @@ def _track_pass(out: DetOut, args) -> "np.ndarray | None":
     from sgtapose_tpu.infer.tracker import track_video
 
     return track_video(
-        out.det, out.scores, out.tracking, hungarian=args.hungarian
+        out.det, out.scores, out.tracking, gate=args.track_gate,
+        hungarian=args.hungarian,
     )
+
+
+class _VideoLoop:
+    """Per-video orchestration shared by the synthetic and real drivers:
+    per-raw-resolution runner cache (a mixed-resolution set rebuilds the
+    warp/runner per resolution the way the reference re-instantiates its
+    detector per video), per-frame resolution bookkeeping for the metrics,
+    inference timing, the --track association pass, and --debug artifact
+    dumps."""
+
+    def __init__(self, args, apply, variables, cfg, camera_K, timer=None):
+        self.args, self.apply, self.variables = args, apply, variables
+        self.cfg, self.camera_K, self.timer = cfg, camera_K, timer
+        self.runners = {}
+        self.tracks = {}
+        self.frame_res = []  # per-frame (w, h) so the metrics bucket correctly
+        self.t_total, self.n_frames = 0.0, 0
+
+    def run(self, vname, imgs_np, prior_pos, frame_names) -> DetOut:
+        raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
+        if raw_hw not in self.runners:
+            if self.runners:
+                print(f"{vname}: new resolution {raw_hw}; building runner")
+            self.runners[raw_hw] = _make_runner(
+                self.args, self.apply, self.variables, self.cfg,
+                self.camera_K, raw_hw,
+            )
+        self.frame_res += [(imgs_np.shape[2], imgs_np.shape[1])] * imgs_np.shape[0]
+        t0 = time.perf_counter()
+        if self.timer is not None:
+            with self.timer.stage("detect"):
+                out_v = self.runners[raw_hw](imgs_np, prior_pos)
+        else:
+            out_v = self.runners[raw_hw](imgs_np, prior_pos)
+        self.t_total += time.perf_counter() - t0
+        self.n_frames += imgs_np.shape[0]
+        ids = _track_pass(out_v, self.args)
+        if ids is not None:
+            self.tracks[vname] = ids.tolist()
+        if self.args.debug:
+            _write_debug_images(self.args, out_v, imgs_np, vname,
+                                frame_names, ids=ids)
+        return out_v
+
+    def res_arg(self):
+        """(w, h) when uniform, else per-frame (F, 2) for mixed-res sets."""
+        return (self.frame_res[0] if len(set(self.frame_res)) == 1
+                else np.array(self.frame_res))
+
+    def report(self):
+        print(f"inference: {self.n_frames} frames in {self.t_total:.2f}s "
+              f"({self.n_frames / max(self.t_total, 1e-9):.1f} fps)")
+
+    def dump_tracks(self, path):
+        if self.tracks:
+            with open(path, "w") as f:
+                json.dump(self.tracks, f)
+            print(f"tracks written for {len(self.tracks)} videos")
 
 
 def _write_debug_images(args, out: DetOut, imgs_np, vname, frame_names,
@@ -234,12 +299,8 @@ def run_synthetic(args, cfg: Config, model, variables):
         return model.apply(variables, *inputs, train=False)
 
     all_det, all_gt, all_pos, sample_names = [], [], [], []
-    runners = {}  # per-raw-resolution (mixed-res sets rebuild, not miswarp)
-    all_tracks = {}
-    frame_res = []  # per-frame (w, h) so the metrics bucket correctly
-    raw_hw = None
-    t_total, n_frames = 0.0, 0
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
+    loop = _VideoLoop(args, apply, variables, cfg, camera_K, timer=timer)
     for vname in names:
         frames = videos[vname]
         imgs, projs, pos_cam, x3d_rob = [], [], [], []
@@ -255,26 +316,9 @@ def run_synthetic(args, cfg: Config, model, variables):
                 pos_cam.append(kp["positions_wrt_cam"])
                 x3d_rob.append(kp["positions_wrt_robot"])
         imgs_np = np.stack(imgs)
-        raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
-        if raw_hw not in runners:
-            runners[raw_hw] = _make_runner(
-                args, apply, variables, cfg, camera_K, raw_hw
-            )
-        run = runners[raw_hw]
-        frame_res += [(imgs_np.shape[2], imgs_np.shape[1])] * len(frames)
-        t0 = time.perf_counter()
-        with timer.stage("detect"):
-            out_v = run(imgs_np, np.stack(x3d_rob))
-        det_v = out_v.det
-        t_total += time.perf_counter() - t0
-        n_frames += len(frames)
-        ids = _track_pass(out_v, args)
-        if ids is not None:
-            all_tracks[vname] = ids.tolist()
-        if args.debug:
-            _write_debug_images(args, out_v, imgs_np, vname, frames, ids=ids)
+        out_v = loop.run(vname, imgs_np, np.stack(x3d_rob), frames)
 
-        all_det.append(det_v)
+        all_det.append(out_v.det)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
         sample_names += [f"{vname}/{f}" for f in frames]
@@ -285,11 +329,8 @@ def run_synthetic(args, cfg: Config, model, variables):
     det = np.concatenate(all_det)
     gt = np.concatenate(all_gt)
     pos = np.concatenate(all_pos)
-    print(f"inference: {n_frames} frames in {t_total:.2f}s "
-          f"({n_frames / max(t_total, 1e-9):.1f} fps)")
-
-    res_arg = ((frame_res[0]) if len(set(frame_res)) == 1
-               else np.array(frame_res))
+    loop.report()
+    res_arg = loop.res_arg()
     results = analyze_sequence_results(
         det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
         res_arg, args.output_dir, set_name="syn",
@@ -297,10 +338,7 @@ def run_synthetic(args, cfg: Config, model, variables):
     )
     # dt_and_json equivalent (ref inference.py:243-262)
     os.makedirs(args.output_dir, exist_ok=True)
-    if all_tracks:
-        with open(os.path.join(args.output_dir, "tracks.json"), "w") as f:
-            json.dump(all_tracks, f)
-        print(f"tracks written for {len(all_tracks)} videos")
+    loop.dump_tracks(os.path.join(args.output_dir, "tracks.json"))
     with open(os.path.join(args.output_dir, "dt_and_gt.json"), "w") as f:
         json.dump(
             {
@@ -312,7 +350,7 @@ def run_synthetic(args, cfg: Config, model, variables):
         )
     results["_multiframe_inputs"] = dict(
         det=det, gt=gt.astype(np.float32), pos=pos.astype(np.float32),
-        camera_K=camera_K, image_resolution=(raw_hw[1], raw_hw[0]),
+        camera_K=camera_K, image_resolution=res_arg,
         video_lengths=[a.shape[0] for a in all_det], set_name="syn",
     )
     return results
@@ -341,13 +379,7 @@ def run_real(args, cfg: Config, model, variables):
         return model.apply(variables, *inputs, train=False)
 
     all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
-    runners = {}  # keyed by raw (H, W): a set with mixed video resolutions
-    # must rebuild the warp/runner per resolution (the reference rebuilds the
-    # detector per video, sgta_detector.py SGTADetector per-video __init__)
-    all_tracks = {}
-    frame_res = []  # per-frame (w, h) so the metrics bucket correctly
-    raw_hw = None
-    t_total, n_frames = 0.0, 0
+    loop = _VideoLoop(args, apply, variables, cfg, camera_K)
     videos = list(zip(video_imgs, video_jsons))
     if args.max_videos:
         videos = videos[: args.max_videos]
@@ -363,29 +395,11 @@ def run_real(args, cfg: Config, model, variables):
             json_list.append(js_path)
             sample_names.append(f"{vi:03d}/{os.path.basename(js_rel)}")
         imgs_np = np.stack(imgs)
-        raw_hw = (imgs_np.shape[1], imgs_np.shape[2])
-        if raw_hw not in runners:
-            if runners:
-                print(f"video {vi}: new resolution {raw_hw}; building runner")
-            runners[raw_hw] = _make_runner(
-                args, apply, variables, cfg, camera_K, raw_hw
-            )
-        frame_res += [(imgs_np.shape[2], imgs_np.shape[1])] * imgs_np.shape[0]
-        t0 = time.perf_counter()
-        out_v = runners[raw_hw](imgs_np, np.stack(pos_cam))
-        det_v = out_v.det
-        t_total += time.perf_counter() - t0
-        n_frames += imgs_np.shape[0]
-        ids = _track_pass(out_v, args)
-        if ids is not None:
-            all_tracks[f"{vi:03d}"] = ids.tolist()
-        if args.debug:
-            _write_debug_images(
-                args, out_v, imgs_np, f"{vi:03d}",
-                [os.path.splitext(os.path.basename(r))[0] for r in imgs_rel],
-                ids=ids,
-            )
-        all_det.append(det_v)
+        out_v = loop.run(
+            f"{vi:03d}", imgs_np, np.stack(pos_cam),
+            [os.path.splitext(os.path.basename(r))[0] for r in imgs_rel],
+        )
+        all_det.append(out_v.det)
         all_gt.append(np.stack(projs))
         all_pos.append(np.stack(pos_cam))
         print(f"video {vi}: {imgs_np.shape[0]} frames")
@@ -393,23 +407,16 @@ def run_real(args, cfg: Config, model, variables):
     det = np.concatenate(all_det)
     gt = np.concatenate(all_gt)
     pos = np.concatenate(all_pos)
-    print(f"inference: {n_frames} frames in {t_total:.2f}s "
-          f"({n_frames / max(t_total, 1e-9):.1f} fps)")
+    loop.report()
 
     os.makedirs(args.output_dir, exist_ok=True)
-    if all_tracks:
-        with open(
-            os.path.join(args.output_dir, f"tracks_{args.is_real}.json"), "w"
-        ) as f:
-            json.dump(all_tracks, f)
-        print(f"tracks written for {len(all_tracks)} videos")
+    loop.dump_tracks(os.path.join(args.output_dir, f"tracks_{args.is_real}.json"))
     with open(
         os.path.join(args.output_dir, f"dt_and_json_{args.is_real}.json"), "w"
     ) as f:
         json.dump({"dt": det.tolist(), "json": json_list}, f, indent=1)
 
-    res_arg = ((frame_res[0]) if len(set(frame_res)) == 1
-               else np.array(frame_res))
+    res_arg = loop.res_arg()
     results = analyze_sequence_results(
         det, gt.astype(np.float32), pos.astype(np.float32), camera_K,
         res_arg, args.output_dir, set_name=args.is_real,
@@ -417,7 +424,7 @@ def run_real(args, cfg: Config, model, variables):
     )
     results["_multiframe_inputs"] = dict(
         det=det, gt=gt.astype(np.float32), pos=pos.astype(np.float32),
-        camera_K=camera_K, image_resolution=(raw_hw[1], raw_hw[0]),
+        camera_K=camera_K, image_resolution=res_arg,
         video_lengths=[a.shape[0] for a in all_det], set_name=args.is_real,
     )
     return results

@@ -241,6 +241,8 @@ def decode_heatmaps(
 
     reg_at = reg[iy, ix]  # (C, 2)
     trk_at = tracking[iy, ix]
+    if coord_mode not in ("reg", "avg", "logquad", "mean"):
+        raise ValueError(f"unknown coord_mode {coord_mode!r}")
     if not use_reg:
         # no reg head (DREAM baselines): reg-dependent modes fall back to the
         # DREAM windowed average; the heatmap-only "logquad" stays available

@@ -94,6 +94,8 @@ def solve_multiframe_pnp(
     F, K, _ = detections.shape
     lengths = list(video_lengths) if video_lengths is not None else [F]
     assert sum(lengths) == F, (lengths, F)
+    # (w, h), or (F, 2) per-frame for mixed-resolution sets
+    res = np.asarray(image_resolution)
 
     det_stacks, pos_stacks, n_inframe, names = [], [], [], []
     start = 0
@@ -107,7 +109,9 @@ def solve_multiframe_pnp(
                 gt_pos_cam[f - multiframe + 1 : f + 1].reshape(-1, 3)
             )
             n_inframe.append(
-                int(metrics.count_inframe_gt(gt_projs[f], image_resolution))
+                int(metrics.count_inframe_gt(
+                    gt_projs[f], res if res.ndim == 1 else res[f]
+                ))
             )
             names.append(f"{vi:03d}/{ind}")
         start += L

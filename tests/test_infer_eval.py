@@ -99,6 +99,28 @@ def test_multiframe_pnp_sliding(rng, tmp_path):
     assert os.path.exists(tmp_path / "t_4_pnp_results.csv")
 
 
+def test_multiframe_pnp_per_frame_resolution(rng):
+    """Mixed-resolution sets pass a per-frame (F,2) image_resolution; PnP
+    viability (>=4 in-frame GT kps on the CURRENT frame) must use each
+    frame's own resolution, not one global one."""
+    from sgtapose_tpu.eval import analysis
+
+    det, gt, pos, K = _noisy_scene(rng, n_frames=4, noise_px=2.0)
+    gt = gt.copy()
+    gt[:, :4, 0] = 700.0  # 4 kps beyond 640-wide frames, inside 1280-wide
+    res = np.array([[640, 360], [640, 360], [1280, 720], [1280, 720]])
+    # windows end at frames 1,2,3; current-frame viability:
+    #   frame 1 (640w): 3 in-frame -> not viable
+    #   frames 2,3 (1280w): 7 in-frame -> viable
+    mixed = analysis.solve_multiframe_pnp(det, gt, pos, K, res,
+                                          multiframe=2, rf=False)
+    assert mixed["num_pnp_possible"] == 2, mixed
+    # a single stale 640-wide resolution would call NOTHING viable
+    uniform = analysis.solve_multiframe_pnp(det, gt, pos, K, (640, 360),
+                                            multiframe=2, rf=False)
+    assert uniform["num_pnp_possible"] == 0, uniform
+
+
 def test_multiframe_pnp_real_combinations(rng, tmp_path):
     from math import comb
 

@@ -94,6 +94,25 @@ def test_eval_step(raw_batch):
     assert np.isfinite(float(stats["tot"]))
 
 
+def test_parallel_step_smoke_8dev():
+    """Fast (non-slow) 8-virtual-device SPMD smoke on the tiny conv-node
+    config: shard_batch + make_parallel_train_step compile and execute under
+    the default quick run, so a sharding-annotation regression (e.g. under a
+    JAX upgrade) is caught without the slow suite. Full numerical 8dev==1dev
+    equivalence with the shipping DCN/attention ops is the slow test below."""
+    from sgtapose_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(8)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K())
+    raw = synthetic.make_raw_batch(jax.random.PRNGKey(7), 8)
+    batch = mesh_lib.shard_batch(fn(jax.random.PRNGKey(8), raw), mesh)
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=10)
+    pstep = trainer.make_parallel_train_step(mesh)
+    state, stats = pstep(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["tot"]))
+    assert int(state.step) == 1
+
+
 @pytest.mark.slow
 def test_parallel_step_matches_single_device():
     """The 8-device data-parallel step computes the SAME update as a
