@@ -238,7 +238,14 @@ def main(argv=None):
                 # save_results): decode predictions, compare in input-res px
                 pred = predict_fn(state, batch)
                 dec = decode_heatmaps_batch(
-                    pred["hm"], pred["reg"], pred["tracking"]
+                    pred["hm"], pred["reg"], pred["tracking"],
+                    max_peaks=cfg.infer.max_peaks,
+                    peak_thresh=cfg.infer.peak_thresh,
+                    ambiguity_gap=cfg.infer.ambiguity_gap,
+                    peak_offset=cfg.infer.peak_offset,
+                    sigma=cfg.infer.peak_sigma,
+                    ref_sort=cfg.infer.ref_sort,
+                    coord_mode=cfg.infer.decode_coord,
                 )
                 det_all.append(np.asarray(dec.coords) * ratio)
                 gt = np.asarray(batch["kp_int"], np.float32) + np.asarray(

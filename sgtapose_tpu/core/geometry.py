@@ -208,6 +208,7 @@ def render_gaussian_heatmap(
     radius: int = 4,
     sigma: float = 2.0,
     per_class: bool = False,
+    subpixel: bool = False,
 ) -> jnp.ndarray:
     """Render truncated Gaussians at integer-floored centers, combined by max.
 
@@ -234,13 +235,15 @@ def render_gaussian_heatmap(
 
     gy = jnp.arange(height, dtype=jnp.int32)[None, :, None]  # (1,H,1)
     gx = jnp.arange(width, dtype=jnp.int32)[None, None, :]  # (1,1,W)
-    dy = gy - cy[:, None, None]
-    dx = gx - cx[:, None, None]
+    dy = (gy - cy[:, None, None]).astype(jnp.float32)
+    dx = (gx - cx[:, None, None]).astype(jnp.float32)
     window = (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
-    g = jnp.exp(
-        -(dx.astype(jnp.float32) ** 2 + dy.astype(jnp.float32) ** 2)
-        / (2.0 * sigma * sigma)
-    )
+    if subpixel:
+        # the teaser renderer keeps the fractional residual in the exponent
+        # (ref draw_umich_gaussian_teaser utilities.py:823-845, res=[ct-int])
+        dx = dx - (centers[:, 0] - cx.astype(jnp.float32))[:, None, None]
+        dy = dy - (centers[:, 1] - cy.astype(jnp.float32))[:, None, None]
+    g = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * sigma * sigma))
     g = jnp.where(window, g, 0.0) * conf[:, None, None]
     if per_class:
         return g
@@ -307,32 +310,10 @@ def render_teaser_heatmap(
     pts = affine_transform_and_clip(
         kp_projs_raw, trans_input, input_w, input_h, raw_width, raw_height
     )
-    cx = jnp.trunc(pts[:, 0]).astype(jnp.int32)
-    cy = jnp.trunc(pts[:, 1]).astype(jnp.int32)
-    res_x = pts[:, 0] - cx.astype(jnp.float32)
-    res_y = pts[:, 1] - cy.astype(jnp.float32)
-    radius, sigma = 12, 6.0
-    drawable = (
-        (cx - radius >= 0)
-        & (cx + radius + 1 < input_w)
-        & (cy - radius >= 0)
-        & (cy + radius + 1 < input_h)
+    conf = jnp.ones((pts.shape[0],), jnp.float32)
+    return render_gaussian_heatmap(
+        pts, conf, input_h, input_w, radius=12, sigma=6.0, subpixel=True
     )
-    conf = drawable.astype(jnp.float32)
-    gy = jnp.arange(input_h, dtype=jnp.int32)[None, :, None]
-    gx = jnp.arange(input_w, dtype=jnp.int32)[None, None, :]
-    dy = gy - cy[:, None, None]
-    dx = gx - cx[:, None, None]
-    window = (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
-    g = jnp.exp(
-        -(
-            (dx.astype(jnp.float32) - res_x[:, None, None]) ** 2
-            + (dy.astype(jnp.float32) - res_y[:, None, None]) ** 2
-        )
-        / (2.0 * sigma * sigma)
-    )
-    g = jnp.where(window, g, 0.0) * conf[:, None, None]
-    return jnp.max(g, axis=0)
 
 
 def render_noised_prior_heatmap(

@@ -31,8 +31,7 @@ checkpoint-parity evaluation (lib/model/utils.py:226-229).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -215,18 +214,26 @@ def decode_heatmaps(
     if ref_sort == "y":
         # reference: sorted(peak, key=lambda x: x[1], reverse=True) — peaks
         # ordered by sub-pixel y descending; the >=0.25 score gap is then
-        # checked between the first two in THAT order
+        # checked between the first two in THAT order. Static-shape caveat:
+        # the reference y-sorts ALL local maxima above peak_thresh, we rank
+        # within the top `max_peaks` candidates by blurred value — parity
+        # holds whenever a class has <= max_peaks maxima (raise
+        # InferConfig.max_peaks for pathologically multi-modal heatmaps)
         sort_key = jnp.where(cand_valid, sys_, -jnp.inf)
     else:
         sort_key = scores
     order = jnp.argsort(-sort_key, axis=1)
     best = order[:, 0]
-    second = order[:, 1]
     take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
     best_score = take(scores, best)
-    second_score = take(scores, second)
+    if max_peaks > 1:
+        second_score = take(scores, order[:, 1])
+        unambiguous = best_score - second_score >= ambiguity_gap
+    else:
+        # a 1-peak budget can never observe a competitor
+        unambiguous = jnp.ones_like(best_score, dtype=bool)
 
-    accept = (n_peaks == 1) | ((n_peaks > 1) & (best_score - second_score >= ambiguity_gap))
+    accept = (n_peaks == 1) | ((n_peaks > 1) & unambiguous)
 
     sx = take(sxs, best)
     sy = take(sys_, best)
@@ -261,12 +268,9 @@ def decode_heatmaps(
             [ix.astype(jnp.float32) + reg_at[:, 0], iy.astype(jnp.float32) + reg_at[:, 1]],
             axis=1,
         )
-        if coord_mode == "mean":
-            coords = 0.5 * (reg_coords + jnp.stack([qx, qy], axis=1))
-        elif coord_mode == "reg":
-            coords = reg_coords
-        else:
-            raise ValueError(f"unknown coord_mode {coord_mode!r}")
+        # coord_mode validated above: "mean" or "reg" here
+        coords = (0.5 * (reg_coords + jnp.stack([qx, qy], axis=1))
+                  if coord_mode == "mean" else reg_coords)
     coords = jnp.where(accept[:, None], coords, SENTINEL)
     coords_int = jnp.stack([ix, iy], axis=1)
     return DecodedKeypoints(
@@ -278,6 +282,8 @@ def decode_heatmaps(
     )
 
 
-decode_heatmaps_batch = jax.vmap(
-    decode_heatmaps, in_axes=(0, 0, 0), out_axes=0
-)
+def decode_heatmaps_batch(hm, reg, tracking, **kwargs) -> DecodedKeypoints:
+    """Batched decode: vmap over the array args, decode settings (max_peaks,
+    ref_sort, coord_mode, thresholds, ...) pass through to decode_heatmaps."""
+    fn = functools.partial(decode_heatmaps, **kwargs)
+    return jax.vmap(fn, in_axes=(0, 0, 0), out_axes=0)(hm, reg, tracking)

@@ -90,9 +90,13 @@ def window_feat_ids(
     offsets = jnp.stack([off_a, off_b], axis=-1)  # (n_win, 2)
 
     coords = topk_xy[:, :, None, :] * scale + offsets[None, None, :, :]
-    # clamp against height (reference asserts H == W and clamps to H-1)
-    coords = jnp.clip(coords, 0.0, float(height - 1))
-    feat_id = coords[..., 1] * width + coords[..., 0]
+    # per-axis border clamp. The reference asserts H == W and clamps both
+    # axes to H-1 (get_topk_features_scale dla.py:937-941); for square maps
+    # this is identical, and non-square maps (which the reference refuses
+    # outright) gather correctly instead of bleeding across rows.
+    x = jnp.clip(coords[..., 0], 0.0, float(width - 1))
+    y = jnp.clip(coords[..., 1], 0.0, float(height - 1))
+    feat_id = y * width + x
     B = topk_xy.shape[0]
     return feat_id.reshape(B, -1).astype(jnp.int32)
 
