@@ -32,6 +32,15 @@ from sgtapose_tpu.models.sgta import create_model
 from sgtapose_tpu.train import trainer
 
 
+def _make_apply(model):
+    """Inference apply wrapper shared by all run_* entries."""
+
+    def apply(variables, *inputs):
+        return model.apply(variables, *inputs, train=False)
+
+    return apply
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser("sgtapose_tpu infer")
     p.add_argument("--dataset", required=True)
@@ -295,8 +304,7 @@ def run_synthetic(args, cfg: Config, model, variables):
     videos = list_synthetic_videos(args.dataset)
     names = list(videos)[: args.max_videos] if args.max_videos else list(videos)
 
-    def apply(variables, *inputs):
-        return model.apply(variables, *inputs, train=False)
+    apply = _make_apply(model)
 
     all_det, all_gt, all_pos, sample_names = [], [], [], []
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
@@ -375,8 +383,7 @@ def run_real(args, cfg: Config, model, variables):
     video_imgs = split["img_paths"]
     kp_names = KEYPOINT_NAMES["panda"]
 
-    def apply(variables, *inputs):
-        return model.apply(variables, *inputs, train=False)
+    apply = _make_apply(model)
 
     all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
     loop = _VideoLoop(args, apply, variables, cfg, camera_K)
@@ -454,8 +461,7 @@ def run_depth(args, cfg: Config, model, variables):
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     object_name = args.object_name or "Franka_Emika_Panda"
 
-    def apply(variables, *inputs):
-        return model.apply(variables, *inputs, train=False)
+    apply = _make_apply(model)
 
     imgs, projs, pos_cam = [], [], []
     for img_path, js_path in zip(pngs, jsons):

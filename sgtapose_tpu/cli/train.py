@@ -116,7 +116,7 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
-    logger = MetricsLogger(args.output_dir)
+    logger = MetricsLogger(args.output_dir, resume=bool(args.resume))
 
     mesh = mesh_lib.make_mesh(args.num_devices)
     n_dev = mesh.devices.size
@@ -125,6 +125,12 @@ def main(argv=None):
 
     # dataset discovery (+ optional concat, ref train.py:193-202)
     three = args.phase == "PlanA_three"
+    if args.depth and three:
+        raise SystemExit(
+            "--depth cannot be combined with --phase PlanA_three: the "
+            "42-joint depth dataset is a 2-frame format (ref "
+            "CenterTrackSeqDepthDataset, datasets.py:445-635)"
+        )
     if args.depth:
         discover = find_depth_seq_data_in_dir
     elif three:
@@ -185,8 +191,11 @@ def main(argv=None):
         reg_weight=cfg.train.reg_weight,
         tracking_weight=cfg.train.tracking_weight,
     )
-    eval_fn = jax.jit(functools.partial(trainer.eval_step, phase=args.phase))
     predict_fn = jax.jit(functools.partial(trainer.predict_step, phase=args.phase))
+    # loss + prediction heads from ONE forward (val runs both per batch)
+    eval_predict_fn = jax.jit(
+        functools.partial(trainer.eval_predict_step, phase=args.phase)
+    )
     drop_rng = jax.random.PRNGKey(args.seed + 1)
 
     def log_mosaic(batch, step):
@@ -233,10 +242,10 @@ def main(argv=None):
             ratio = float(cfg.model.down_ratio)
             for raw in val_loader.epoch(0):
                 batch = batch_fn(jax.random.PRNGKey(0), jax.tree_util.tree_map(np.asarray, raw))
-                vals.append({k: float(v) for k, v in eval_fn(state, batch).items()})
-                # per-epoch keypoint metric suite (ref train.py:44-166
-                # save_results): decode predictions, compare in input-res px
-                pred = predict_fn(state, batch)
+                # one forward for both the loss and the keypoint metric
+                # suite (ref train.py:44-166 save_results)
+                stats, pred = eval_predict_fn(state, batch)
+                vals.append({k: float(v) for k, v in stats.items()})
                 dec = decode_heatmaps_batch(
                     pred["hm"], pred["reg"], pred["tracking"],
                     max_peaks=cfg.infer.max_peaks,

@@ -118,15 +118,28 @@ class SeqBatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Bounded put that stays responsive to the consumer going away
+            # (a bare q.put would park forever on the full queue and leak
+            # the thread + pinned batches on early `break`).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def coordinator():
+            # A load failure must surface in the consumer, not silently end
+            # the epoch: ship the exception through the queue.
             try:
                 if self.num_workers <= 1:
                     for idxs in batch_indices:
-                        if stop.is_set():
-                            return
-                        q.put(self._collate(
+                        if not put(self._collate(
                             [self._load_one(self.pairs[i]) for i in idxs]
-                        ))
+                        )):
+                            return
                     return
                 from collections import deque
                 from concurrent.futures import ThreadPoolExecutor
@@ -141,17 +154,19 @@ class SeqBatchLoader:
                             [ex.submit(self._load_one, self.pairs[i]) for i in idxs]
                         )
                         if len(pending) > in_flight:
-                            q.put(self._collate(
+                            if not put(self._collate(
                                 [f.result() for f in pending.popleft()]
-                            ))
+                            )):
+                                return
                     while pending:
-                        if stop.is_set():
-                            return
-                        q.put(self._collate(
+                        if not put(self._collate(
                             [f.result() for f in pending.popleft()]
-                        ))
+                        )):
+                            return
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=coordinator, daemon=True)
         t.start()
@@ -160,6 +175,8 @@ class SeqBatchLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -41,22 +41,17 @@ def _border(border: int, size: int) -> int:
     return border // i
 
 
-def augment_and_render(
-    rng: jax.Array,
-    sample: RawSample,
-    camera_K: jnp.ndarray,
-    cfg: Config,
-    augment: bool = True,
-) -> Dict[str, jnp.ndarray]:
-    """One sample's full train-input construction. jit/vmap-safe."""
-    H_raw, W_raw = sample.prev_img.shape[0], sample.prev_img.shape[1]
+def _derive_affine(rng: jax.Array, H_raw: int, W_raw: int, cfg: Config, augment: bool):
+    """Shared random-affine derivation (ref datasets.py:109-119,
+    utilities.py:861-868). Splits `rng` exactly as augment_and_render's
+    stream expects and returns (trans_input, trans_output, k_prior, k_prevhm)
+    — the single source of truth for the window's transform, so the
+    three-frame path can rebuild the SAME warp for the ppre frame without
+    duplicating (and risking desynchronizing) this logic."""
     in_h, in_w = cfg.model.input_res
     out_h, out_w = cfg.model.output_res
-    n_kp = cfg.model.num_classes
-
     k_aug_s, k_aug_c, k_prior, k_prevhm = jax.random.split(rng, 4)
 
-    # --- shared random affine (ref datasets.py:109-119, utilities.py:861-868)
     s_base = jnp.float32(max(H_raw, W_raw))
     if augment:
         aug_s = jax.random.choice(
@@ -76,6 +71,24 @@ def augment_and_render(
 
     trans_input = geometry.get_affine_transform(center, s, 0.0, (in_w, in_h))
     trans_output = geometry.get_affine_transform(center, s, 0.0, (out_w, out_h))
+    return trans_input, trans_output, k_prior, k_prevhm
+
+
+def augment_and_render(
+    rng: jax.Array,
+    sample: RawSample,
+    camera_K: jnp.ndarray,
+    cfg: Config,
+    augment: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """One sample's full train-input construction. jit/vmap-safe."""
+    H_raw, W_raw = sample.prev_img.shape[0], sample.prev_img.shape[1]
+    in_h, in_w = cfg.model.input_res
+    out_h, out_w = cfg.model.output_res
+
+    trans_input, trans_output, k_prior, k_prevhm = _derive_affine(
+        rng, H_raw, W_raw, cfg, augment
+    )
 
     # --- warp + normalize both frames with the SAME transform ---------------
     mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
@@ -148,6 +161,11 @@ def augment_and_render(
         "gt_belief_maps": jnp.moveaxis(gt_belief, 0, -1),
         "kp_int": next_int,
         "reg_target": next_out - next_int.astype(jnp.float32),
+        # Reference-faithful quirk (ref datasets.py:176): prev_out is zeroed
+        # for out-of-raw-frame prev keypoints by affine_transform_and_clip,
+        # so their tracking target is 0 - next_int (a large bogus
+        # displacement). Harmless at the shipping tracking_weight=0.0; anyone
+        # enabling the tracking head should mask these rows first.
         "tracking_target": prev_out - next_int.astype(jnp.float32),
     }
 
@@ -198,32 +216,19 @@ def augment_and_render_three(
         prev_x3d_rob=sample.pre_x3d_rob,
         next_x3d_rob=sample.next_x3d_rob,
     )
-    k_pair, k_pp, k_warp = jax.random.split(rng, 3)
+    k_pair, k_pp = jax.random.split(rng, 3)[:2]  # 3-way split kept for RNG-stream compat
     # base pair (pre -> next) reuses the two-frame construction, which fixes
     # the shared affine for the whole window
     out = augment_and_render(k_pair, pair_pn, camera_K, cfg, augment)
 
-    # rebuild the same transforms for the ppre frame: rerun the affine keys
-    # deterministically by re-deriving from the SAME rng the pair used
-    # (augment_and_render splits its rng as (aug_s, aug_c, prior, prevhm))
+    # rebuild the SAME transforms for the ppre frame via the shared helper
+    # (re-derives from the identical rng the pair consumed)
     H_raw, W_raw = sample.pre_img.shape[0], sample.pre_img.shape[1]
     in_h, in_w = cfg.model.input_res
     out_h, out_w = cfg.model.output_res
-    k_aug_s, k_aug_c, _, _ = jax.random.split(k_pair, 4)
-    s_base = jnp.float32(max(H_raw, W_raw))
-    if augment:
-        aug_s = jax.random.choice(k_aug_s, jnp.arange(0.6, 1.4, 0.1, dtype=jnp.float32))
-        wb = _border(128, W_raw)
-        hb = _border(128, H_raw)
-        cx = jax.random.randint(k_aug_c, (), wb, W_raw - wb).astype(jnp.float32)
-        cy = jax.random.randint(jax.random.fold_in(k_aug_c, 1), (), hb, H_raw - hb).astype(jnp.float32)
-        center = jnp.stack([cx, cy])
-    else:
-        aug_s = jnp.float32(1.0)
-        center = jnp.array([W_raw / 2.0, H_raw / 2.0], jnp.float32)
-    s = s_base * aug_s
-    trans_input = geometry.get_affine_transform(center, s, 0.0, (in_w, in_h))
-    trans_output = geometry.get_affine_transform(center, s, 0.0, (out_w, out_h))
+    trans_input, trans_output, _, _ = _derive_affine(
+        k_pair, H_raw, W_raw, cfg, augment
+    )
 
     mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
     std = jnp.asarray(IMAGE_STD, jnp.float32)

@@ -110,10 +110,17 @@ def render_frame(projs: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img + 20.0, 0.0, 255.0)
 
 
-def make_sequence(rng: jax.Array, num_frames: int = 2, return_pos_cam: bool = False):
+def make_sequence(
+    rng: jax.Array,
+    num_frames: int = 2,
+    return_pos_cam: bool = False,
+    n_kp: int | None = None,
+):
     """Simulate a short video: smooth camera motion over a static robot.
     Returns (projs (T,K,2), imgs (T,H,W,3)) and, with return_pos_cam, also
-    the camera-frame keypoint positions (T,K,3) for ADD evaluation."""
+    the camera-frame keypoint positions (T,K,3) for ADD evaluation.
+    n_kp selects the robot config (default: the 7-kp panda chain)."""
+    skel = SKELETON if n_kp is None else robot_skeleton(n_kp)
     k_pose, k_vel = jax.random.split(rng)
     q0, t0 = random_pose(k_pose)
     dq = jax.random.normal(jax.random.fold_in(k_vel, 0), (4,)) * 0.01
@@ -126,10 +133,10 @@ def make_sequence(rng: jax.Array, num_frames: int = 2, return_pos_cam: bool = Fa
         q = q / jnp.linalg.norm(q)
         t = t0 + dt * f
         R = geometry.quat_to_matrix(q)
-        p = geometry.project_points(SKELETON, R, t, K)
+        p = geometry.project_points(skel, R, t, K)
         projs.append(p)
         imgs.append(render_frame(p))
-        pos.append(geometry.transform_points(SKELETON, R, t))
+        pos.append(geometry.transform_points(skel, R, t))
     if return_pos_cam:
         return jnp.stack(projs), jnp.stack(imgs), jnp.stack(pos)
     return jnp.stack(projs), jnp.stack(imgs)

@@ -28,6 +28,9 @@ from sgtapose_tpu.core import geometry, pnp
 
 PNP_MAGIC = -999.0
 
+# np.trapezoid is NumPy >= 2.0; fall back to the old name on 1.x installs.
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 def keypoint_metrics(
     keypoints_detected: np.ndarray,
@@ -71,7 +74,7 @@ def keypoint_metrics(
         thresholds = np.arange(0, auc_pixel_threshold, delta)
         y = (errs[None, :] < thresholds[:, None]).sum(axis=1)
         auc = float(
-            np.trapezoid(y, dx=delta) / auc_pixel_threshold / num_gt_inframe
+            _trapezoid(y, dx=delta) / auc_pixel_threshold / num_gt_inframe
         )
     else:
         mean = med = std = auc = None
@@ -109,7 +112,7 @@ def pnp_metrics(
     counts = (add_found[None, :] <= thresholds[:, None]).sum(axis=1) / max(
         float(num_possible), 1.0
     )
-    auc = float(np.trapezoid(counts, dx=delta) / add_auc_threshold)
+    auc = float(_trapezoid(counts, dx=delta) / add_auc_threshold)
 
     stats = lambda f: float(f(add_found)) if num_found else None
     return {
@@ -163,6 +166,14 @@ def _frame_add(detected, gt_pos_cam, K_cam, rf: bool):
     return add, res.success
 
 
+# Module-level jit: keyed by (shapes, rf) in jax's cache, so repeated eval
+# sweeps reuse the compiled 200-iter LM program instead of re-tracing a fresh
+# wrapper every call.
+_frame_add_batched = jax.jit(
+    jax.vmap(_frame_add, in_axes=(0, 0, None, None)), static_argnums=(3,)
+)
+
+
 def compute_add_batch(
     detected: np.ndarray,
     gt_pos_cam: np.ndarray,
@@ -171,9 +182,7 @@ def compute_add_batch(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(F, M, 2), (F, M, 3) -> (adds (F,), successes (F,)). Rows may be
     stacked multiframe windows (M = multiframe * K)."""
-    f = jax.jit(jax.vmap(_frame_add, in_axes=(0, 0, None, None)),
-                static_argnums=(3,))
-    adds, succ = f(
+    adds, succ = _frame_add_batched(
         jnp.asarray(detected, jnp.float32),
         jnp.asarray(gt_pos_cam, jnp.float32),
         jnp.asarray(camera_K, jnp.float32),

@@ -37,30 +37,43 @@ def make_bf16_apply(model) -> Callable:
 
 
 def make_eval_videos(
-    n_videos: int, n_frames: int, seed: int
+    n_videos: int, n_frames: int, seed: int, n_kp: int | None = None
 ) -> List[Tuple[np.ndarray, jnp.ndarray, np.ndarray]]:
     """Held-out synthetic videos: [(gt_projs, raw_imgs, gt_pos_cam), ...]."""
     vids = []
     for v in range(n_videos):
         rv = jax.random.fold_in(jax.random.PRNGKey(seed + 99), v)
         projs, imgs, pos_cam = synthetic.make_sequence(
-            rv, n_frames, return_pos_cam=True
+            rv, n_frames, return_pos_cam=True, n_kp=n_kp
         )
         vids.append((np.asarray(projs), imgs, np.asarray(pos_cam)))
     return vids
 
 
-def evaluate_runner(run, cfg: Config, vids, n_frames: int, rf: bool = True):
+def evaluate_runner(run, cfg: Config, vids, n_frames: int | None = None, rf: bool = True):
     """Drive a video runner over pre-generated vids; return (results, fps).
 
     run: fn(VideoFrames) -> FrameResult (e.g. make_video_detector output).
+    The skeleton follows cfg.model.num_classes (kuka/ur5e configs included)
+    and the frame count comes from each vid itself; the n_frames parameter
+    is accepted for backward compatibility but ignored.
     fps includes any first-call compile (callers that want steady-state
     timing should warm `run` first)."""
+    skel = synthetic.robot_skeleton(cfg.model.num_classes)
     all_det, all_gt, all_pos = [], [], []
     t0 = time.time()
+    n_total = 0
     for projs, imgs, pos_cam in vids:
+        if projs.shape[1] != cfg.model.num_classes:
+            raise ValueError(
+                f"eval vids have {projs.shape[1]} keypoints but the model "
+                f"expects {cfg.model.num_classes}; generate them with "
+                f"make_eval_videos(..., n_kp={cfg.model.num_classes})"
+            )
+        T = imgs.shape[0]
+        n_total += T
         images, _, _ = det_lib.preprocess_frames(imgs, cfg)
-        x3d = jnp.tile(synthetic.SKELETON[None], (n_frames, 1, 1))
+        x3d = jnp.tile(skel[None], (T, 1, 1))
         res = run(det_lib.VideoFrames(images=images, x3d=x3d))
         all_det.append(np.asarray(res.detected_kps))
         all_gt.append(projs)
@@ -73,5 +86,5 @@ def evaluate_runner(run, cfg: Config, vids, n_frames: int, rf: bool = True):
         det, gt, pos, np.asarray(synthetic.camera_K()),
         (synthetic.RAW_W, synthetic.RAW_H), output_dir=None, rf=rf, syn=False,
     )
-    fps = len(vids) * n_frames / max(dt, 1e-9)
+    fps = n_total / max(dt, 1e-9)
     return results, fps

@@ -29,13 +29,17 @@ class Track:
 
 
 def greedy_assignment(dist: np.ndarray, gate: float) -> List[tuple]:
-    """Row-major greedy matching (ref tracker.py:136-145)."""
+    """Row-major greedy matching (ref tracker.py:136-145): a matched column
+    is masked out for every later row, so a row whose best track is taken
+    re-searches its next-best candidate instead of going unmatched."""
     matches = []
-    used = set()
+    if dist.shape[1] == 0:
+        return matches
+    dist = dist.copy()
     for i in range(dist.shape[0]):
-        j = int(np.argmin(dist[i])) if dist.shape[1] else -1
-        if j >= 0 and dist[i, j] < gate and j not in used:
-            used.add(j)
+        j = int(np.argmin(dist[i]))
+        if dist[i, j] < gate:
+            dist[:, j] = 1e18
             matches.append((i, j))
     return matches
 
@@ -110,15 +114,18 @@ class Tracker:
             matched_tracks.add(j)
             matched_dets.add(i)
             out.append({**detections[i], "tracking_id": t.track_id})
+        new_ids = set()
         for i, det in enumerate(detections):
             if i not in matched_dets:
                 t = self._new_track(det)
+                new_ids.add(t.track_id)
                 out.append({**det, "tracking_id": t.track_id})
         survivors = []
         for j, t in enumerate(self.tracks):
-            if j in matched_tracks or t.track_id >= self._next_id - len(detections):
+            if j in matched_tracks or t.track_id in new_ids:
                 survivors.append(t)
             else:
+                # unmatched pre-existing track: age it out (ref tracker.py:120-132)
                 t.age += 1
                 t.active = 0
                 if t.age <= self.max_age:

@@ -3,7 +3,9 @@
 Counterpart of the reference's native solver layer (L0: libtestso_final.so,
 loaded via ctypes at rf_tools/LM.py:10 and called through register_GN_C at
 :256-266). Ours builds from source on first use (g++ available in the image)
-and caches the .so next to the source.
+and caches the .so next to the source; the binary is not committed, so a
+source edit always rebuilds (no mtime-staleness trap) and non-x86 hosts get
+a native build instead of a CDLL failure.
 """
 
 from __future__ import annotations
@@ -38,12 +40,21 @@ def build(force: bool = False) -> str:
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(build())
+        try:
+            lib = ctypes.CDLL(build())
+        except OSError:
+            # cached .so unloadable (e.g. copied from another arch) —
+            # rebuild from source once before giving up
+            lib = ctypes.CDLL(build(force=True))
         dp = ctypes.POINTER(ctypes.c_double)
         lib.LM.argtypes = [dp, dp, dp, dp, dp, dp, ctypes.c_int]
         lib.LM.restype = None
         _lib = lib
     return _lib
+
+
+# fixed Jacobian scratch bound in lm_solver.cpp (kMaxN)
+MAX_N = 512
 
 
 def available() -> bool:
@@ -66,9 +77,15 @@ def lm_refine(
 
     x2d (N,2), x3d (N,3), quat_init (4,) wxyz, trans_init (3,),
     weights (N,2), camera_K (3,3). Returns (quat (4,), trans (3,)).
+    N must be <= MAX_N (the solver's fixed scratch bound).
     """
     lib = _load()
     n = int(x2d.shape[0])
+    if n > MAX_N:
+        raise ValueError(
+            f"lm_refine supports at most {MAX_N} correspondences, got {n}; "
+            "solve larger stacks with the JAX solver (core/pnp.register_gn)"
+        )
     value = np.ascontiguousarray(
         np.concatenate([quat_init.ravel(), trans_init.ravel()]), np.float64
     )

@@ -16,12 +16,18 @@
 // by partial-pivot Gaussian elimination.
 //
 // The JAX path (sgtapose_tpu/core/pnp.py register_gn) is the on-device
-// solver; this library is the float64 host fallback used by the eval
-// harness for numerically-exact --rf refinement, loaded via ctypes
-// (sgtapose_tpu/native/__init__.py).
+// solver used by the eval harness; this library is the float64 host
+// reference implementation (ABI-parity oracle vs the reference binary,
+// see tests/test_native_lm.py and tests/test_parity_solvers.py), loaded
+// via ctypes (sgtapose_tpu/native/__init__.py).
+//
+// kMaxN bounds the fixed Jacobian scratch; the Python wrapper rejects
+// larger inputs with a clear error instead of truncating.
 
 #include <cmath>
 #include <cstring>
+
+constexpr int kMaxN = 512;
 
 namespace {
 
@@ -70,7 +76,7 @@ void jacobian(const double value[7], const double* x2d, const double* x3d,
               const double* w, const double camera[9], int n, double* J) {
   const int m = 2 * n + 1;
   double vp[7], vm[7];
-  double fp[2 * 64 + 1], fm[2 * 64 + 1];  // n capped at 64 by the wrapper
+  double fp[2 * kMaxN + 1], fm[2 * kMaxN + 1];
   for (int k = 0; k < 7; ++k) {
     const double h = 1e-7 * (1.0 + std::fabs(value[k]));
     std::memcpy(vp, value, sizeof(vp));
@@ -123,13 +129,13 @@ extern "C" {
 // `fun` hardcodes the constraint scale.
 void LM(const double* value_init, const double* x2d, const double* x3d,
         const double* weights, const double* camera, double* ans, int n) {
-  if (n > 64) n = 64;  // Jacobian scratch bound; 7-9 keypoints in practice
+  if (n > kMaxN) n = kMaxN;  // scratch bound; wrapper raises before this
   const int m = 2 * n + 1;
   double value[7];
   std::memcpy(value, value_init, sizeof(value));
 
-  double f[2 * 64 + 1];
-  double J[(2 * 64 + 1) * 7];
+  double f[2 * kMaxN + 1];
+  double J[(2 * kMaxN + 1) * 7];
 
   for (int iter = 0; iter < 200; ++iter) {
     residuals(value, x2d, x3d, weights, camera, n, f);

@@ -147,9 +147,11 @@ def train_step(
             from sgtapose_tpu.utils.precision import cast_floating
 
             fwd_params = cast_floating(params, jnp.bfloat16)
-            fwd_state = state.replace(
-                batch_stats=cast_floating(state.batch_stats, jnp.bfloat16)
-            )
+            # batch_stats stay f32: in train mode they are only READ by the
+            # EMA update (normalization uses the batch's own statistics), so
+            # casting them to bf16 would re-quantize the running stats every
+            # step with no compute benefit.
+            fwd_state = state
             fwd_batch = dict(batch)
             for k in model_inputs:
                 fwd_batch[k] = batch[k].astype(jnp.bfloat16)
@@ -188,16 +190,34 @@ def eval_step(
     return stats
 
 
-def predict_step(state: TrainState, batch, phase: str = "PlanA_win"):
-    """Inference forward for observability/validation decoding: sigmoided
-    heatmaps + reg/tracking (zeros when the arch has no such head, e.g.
-    Dream baselines)."""
-    out, _ = model_forward(state, state.params, batch, train=False, phase=phase)
+def _prediction_heads(out) -> Dict[str, jnp.ndarray]:
+    """Sigmoided heatmaps + reg/tracking (zeros when the arch has no such
+    head, e.g. Dream baselines)."""
     hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
     zeros = jnp.zeros(hm.shape[:3] + (2,), jnp.float32)
     reg = out.get("reg", zeros).astype(jnp.float32)
     tracking = out.get("tracking", zeros).astype(jnp.float32)
     return {"hm": hm, "reg": reg, "tracking": tracking}
+
+
+def predict_step(state: TrainState, batch, phase: str = "PlanA_win"):
+    """Inference forward for observability/validation decoding."""
+    out, _ = model_forward(state, state.params, batch, train=False, phase=phase)
+    return _prediction_heads(out)
+
+
+def eval_predict_step(
+    state: TrainState, batch, phase: str = "PlanA_win"
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Validation loss AND decodable prediction heads from ONE forward
+    (the per-epoch val loop needs both; running eval_step + predict_step
+    separately doubles validation compute)."""
+    from sgtapose_tpu.train.phases import loss_weights
+
+    out, _ = model_forward(state, state.params, batch, train=False, phase=phase)
+    out_f32 = {k: v.astype(jnp.float32) for k, v in out.items()}
+    _, stats = sgta_loss(out_f32, batch, **loss_weights(phase))
+    return stats, _prediction_heads(out)
 
 
 def make_parallel_train_step(mesh, bf16: bool = False, phase: str = "PlanA_win", **loss_weights):

@@ -15,10 +15,13 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, output_dir: str, use_tensorboard: bool = True):
+    def __init__(self, output_dir: str, use_tensorboard: bool = True,
+                 resume: bool = False):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+        # fresh (non-resumed) runs truncate: appending would interleave two
+        # runs' records at overlapping step numbers with no delimiter
+        self._f = open(self.path, "a" if resume else "w")
         self._tb = None
         if use_tensorboard:
             try:

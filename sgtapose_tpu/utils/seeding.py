@@ -16,6 +16,8 @@ import numpy as np
 def set_random_seed(seed: int = 317):
     random.seed(seed)
     np.random.seed(seed)
+    # NOTE: hash randomization for THIS interpreter is fixed at startup and
+    # cannot be changed here; the env var only affects subprocesses we spawn.
     os.environ["PYTHONHASHSEED"] = str(seed)
     import jax
 

@@ -227,6 +227,67 @@ def _tree_paths(tree, prefix=()):
         yield "/".join(str(k.key) for k in path), leaf
 
 
+
+def _convert_with_mapping(
+    sd, mapping, params, batch_stats, bgr_flip_paths, strict, unused_filter
+):
+    """Shared conversion core for both converters: mapping/BN-suffix lookup,
+    BGR first-conv flip, shape check, nested-tree rebuild, and the
+    missing/mismatched/unused report (raises when strict)."""
+    used = set()
+    missing, mismatched = [], []
+
+    def lookup(our_path: str, expect_shape):
+        if our_path in mapping:
+            ref, tf = mapping[our_path]
+        else:
+            head, leaf = our_path.rsplit("/", 1)
+            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
+                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
+                ref, tf = mapping[head][0] + "." + suffix, None
+            else:
+                return None
+        if ref not in sd:
+            missing.append((our_path, ref))
+            return None
+        w = sd[ref]
+        if tf is not None:
+            w = tf(w)
+        if our_path in bgr_flip_paths:
+            w = w[:, :, ::-1, :]
+        if tuple(w.shape) != tuple(expect_shape):
+            mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
+            return None
+        used.add(ref)
+        return w
+
+    def convert_tree(tree):
+        out = {}
+        for path, leaf in _tree_paths(tree):
+            w = lookup(path, leaf.shape)
+            node = out
+            keys = path.split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = (
+                np.asarray(w, np.float32) if w is not None else np.asarray(leaf)
+            )
+        return out
+
+    new_params = convert_tree(params)
+    new_stats = convert_tree(batch_stats)
+    unused = sorted(k for k in sd if k not in used and unused_filter(k))
+    report = {
+        "missing": missing,
+        "mismatched": mismatched,
+        "unused_ref_keys": unused,
+        "n_converted": len(used),
+    }
+    if strict and (missing or mismatched):
+        raise ValueError(f"conversion incomplete: {report}")
+    return new_params, new_stats, report
+
+
 def convert_state_dict(
     state_dict: Dict[str, np.ndarray],
     params,
@@ -243,78 +304,30 @@ def convert_state_dict(
 
     sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
     mapping = _flag_map(dla_node, arch)
-    used = set()
-    missing, mismatched = [], []
-
-    def lookup(our_path: str, expect_shape):
-        # direct leaf mapping, or BN module mapping + suffix
-        if our_path in mapping:
-            ref, tf = mapping[our_path]
-        else:
-            head, leaf = our_path.rsplit("/", 1)
-            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
-                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
-                ref, tf = mapping[head][0] + "." + suffix, None
-            else:
-                return None
-        if ref not in sd:
-            missing.append((our_path, ref))
-            return None
-        w = sd[ref]
-        if tf is not None:
-            w = tf(w)
-        if bgr_to_rgb and our_path in (
-            "pre_img_stem/Conv_0/kernel", "cur_img_stem/Conv_0/kernel"
-        ):
-            # every 3-channel image stem flips (cur_img_stem exists on the
-            # wo_shared ablation's separate current-frame trunk); matches
-            # export_state_dict so the round-trip is exact for all archs
-            w = w[:, :, ::-1, :]
-        if tuple(w.shape) != tuple(expect_shape):
-            mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
-            return None
-        used.add(ref)
-        return w
-
-    def convert_tree(tree):
-        flat = {}
-        for path, leaf in _tree_paths(tree):
-            w = lookup(path, leaf.shape)
-            flat[path] = np.asarray(w, np.float32) if w is not None else np.asarray(leaf)
-        # rebuild nested
-        out = {}
-        for path, v in flat.items():
-            node = out
-            keys = path.split("/")
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            node[keys[-1]] = v
-        return out
-
-    new_params = convert_tree(params)
-    new_stats = convert_tree(batch_stats)
-    unused = sorted(
-        k for k in sd
-        if k not in used
-        and not k.startswith((
-            "base.base_layer", "base.repro_hm_layer", "base.fc",
-            "base1.base_layer", "base1.repro_hm_layer", "base1.fc",
-            "base1.pre_hm_layer",  # cur pass runs without a prior heatmap
-        ))
-        and ".project." not in k.replace("tree1.project", "")  # dead lvl projections
-        and not re.search(r"transformer\.\d\.layers\.[12]\.", k)  # tied copies
-        and not k.startswith("wh")
-        and "num_batches_tracked" not in k
+    # every 3-channel image stem flips (cur_img_stem exists on the wo_shared
+    # ablation's separate current-frame trunk); matches export_state_dict so
+    # the round-trip is exact for all archs
+    bgr_paths = (
+        {"pre_img_stem/Conv_0/kernel", "cur_img_stem/Conv_0/kernel"}
+        if bgr_to_rgb else set()
     )
-    report = {
-        "missing": missing,
-        "mismatched": mismatched,
-        "unused_ref_keys": unused,
-        "n_converted": len(used),
-    }
-    if strict and (missing or mismatched):
-        raise ValueError(f"conversion incomplete: {report}")
-    return new_params, new_stats, report
+
+    def unused_filter(k):
+        return (
+            not k.startswith((
+                "base.base_layer", "base.repro_hm_layer", "base.fc",
+                "base1.base_layer", "base1.repro_hm_layer", "base1.fc",
+                "base1.pre_hm_layer",  # cur pass runs without a prior heatmap
+            ))
+            and ".project." not in k.replace("tree1.project", "")  # dead lvl projections
+            and not re.search(r"transformer\.\d\.layers\.[12]\.", k)  # tied copies
+            and not k.startswith("wh")
+            and "num_batches_tracked" not in k
+        )
+
+    return _convert_with_mapping(
+        sd, mapping, params, batch_stats, bgr_paths, strict, unused_filter
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -532,60 +545,11 @@ def convert_dream_state_dict(
     else:
         raise ValueError(f"unknown DREAM arch: {arch}")
 
-    used = set()
-    missing, mismatched = [], []
-
-    def lookup(our_path: str, expect_shape):
-        if our_path in mapping:
-            ref, tf = mapping[our_path]
-        else:
-            head, leaf = our_path.rsplit("/", 1)
-            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
-                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
-                ref, tf = mapping[head][0] + "." + suffix, None
-            else:
-                return None
-        if ref not in sd:
-            missing.append((our_path, ref))
-            return None
-        w = sd[ref]
-        if tf is not None:
-            w = tf(w)
-        if bgr_to_rgb and our_path == first_conv:
-            w = w[:, :, ::-1, :]
-        if tuple(w.shape) != tuple(expect_shape):
-            mismatched.append((our_path, ref, w.shape, tuple(expect_shape)))
-            return None
-        used.add(ref)
-        return w
-
-    def convert_tree(tree):
-        out = {}
-        for path, leaf in _tree_paths(tree):
-            w = lookup(path, leaf.shape)
-            node = out
-            keys = path.split("/")
-            for k in keys[:-1]:
-                node = node.setdefault(k, {})
-            node[keys[-1]] = (
-                np.asarray(w, np.float32) if w is not None else np.asarray(leaf)
-            )
-        return out
-
-    new_params = convert_tree(params)
-    new_stats = convert_tree(batch_stats)
-    unused = sorted(
-        k for k in sd if k not in used and "num_batches_tracked" not in k
+    return _convert_with_mapping(
+        sd, mapping, params, batch_stats,
+        {first_conv} if bgr_to_rgb else set(), strict,
+        lambda k: "num_batches_tracked" not in k,
     )
-    report = {
-        "missing": missing,
-        "mismatched": mismatched,
-        "unused_ref_keys": unused,
-        "n_converted": len(used),
-    }
-    if strict and (missing or mismatched):
-        raise ValueError(f"conversion incomplete: {report}")
-    return new_params, new_stats, report
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

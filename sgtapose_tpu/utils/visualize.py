@@ -50,9 +50,9 @@ def overlay_points_on_image(
 
 
 def image_from_belief_map(
-    belief_map: np.ndarray, colormap: str = "hot", normalization: str = "frame"
+    belief_map: np.ndarray, normalization: str = "frame"
 ):
-    """(H, W) float map -> PIL heat image.
+    """(H, W) float map -> PIL heat image ('hot' ramp).
     normalization: 'frame' (min-max of this map) | 'none' (clip to [0,1])."""
     from PIL import Image
 

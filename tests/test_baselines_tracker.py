@@ -103,3 +103,30 @@ def test_track_video_e2e():
     for t in range(T):
         v = ids[t][ids[t] >= 0]
         assert len(set(v.tolist())) == len(v)
+
+
+def test_greedy_assignment_researches_taken_column():
+    """Two detections whose best track is the same: the second must fall
+    back to its next-best in-gate track (ref tracker.py:136-145 masks the
+    matched column), not go unmatched."""
+    dist = np.array([[0.10, 0.50], [0.05, 0.40]])
+    m = greedy_assignment(dist, gate=1.0)
+    assert m == [(0, 0), (1, 1)]
+
+
+def test_unmatched_track_ages_out_despite_new_tracks():
+    """An unmatched pre-existing track ages (and expires at max_age) even
+    when the same frame creates new tracks."""
+    tr = Tracker(gate=1.0, max_age=1)
+    tr.init_track()
+    tr.step([
+        {"ct": (10.0, 10.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 1},
+        {"ct": (50.0, 50.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 2},
+    ])
+    # class-1 keeps matching; class-2 vanishes but a NEW class-3 det appears
+    for _ in range(2):
+        tr.step([
+            {"ct": (10.0, 10.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 1},
+            {"ct": (99.0, 99.0), "tracking": (0.0, 0.0), "score": 0.9, "class": 3},
+        ])
+    assert all(t.cls != 2 for t in tr.tracks), "ghost class-2 track never aged out"

@@ -70,3 +70,25 @@ def test_loader_throughput_probe(dataset, capsys):
         dt = time.perf_counter() - t0
         print(f"num_workers={nw}: {n / dt:.1f} images/s")
     assert n > 0
+
+
+def test_load_failure_surfaces_in_consumer(dataset, tmp_path):
+    """A corrupt sample must raise in the consuming loop, not silently
+    truncate the epoch (the coordinator ships the exception through the
+    queue)."""
+    import shutil
+
+    d = str(tmp_path / "broken")
+    shutil.copytree(dataset, d)
+    # corrupt one frame's meta json
+    import glob, os
+    victim = sorted(glob.glob(os.path.join(d, "*", "*_meta.json")))[1]
+    with open(victim, "w") as f:
+        f.write("{not json")
+    pairs = find_ndds_seq_data_in_dir(d)
+    loader = SeqBatchLoader(
+        pairs, TINY, K, "panda_synthetic", KP, 2, num_workers=2,
+        shuffle=False,
+    )
+    with pytest.raises(Exception):
+        list(loader.epoch(0))
