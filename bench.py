@@ -60,13 +60,21 @@ def main():
             "out — TPU tunnel down?); refusing to emit a bogus number.",
             file=sys.stderr,
         )
+        # surface the real failure (may be an install problem, not the tunnel)
+        try:
+            err = probe.stderr.decode(errors="replace").strip()
+            if err:
+                print("--- probe stderr ---\n" + err[-2000:], file=sys.stderr)
+        except NameError:  # TimeoutExpired path: no probe object
+            pass
         sys.exit(1)
 
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.infer import detector as det_lib
     from sgtapose_tpu.models.sgta import create_model
-    from sgtapose_tpu.utils.precision import bf16_inference_variables, cast_floating
+    from sgtapose_tpu.eval.synthetic_eval import make_bf16_apply
+    from sgtapose_tpu.utils.precision import bf16_inference_variables
 
     cfg = Config()
     model = create_model(cfg.model)
@@ -83,10 +91,7 @@ def main():
     )
     variables = bf16_inference_variables(variables)
 
-    def apply(variables, *inputs):
-        inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
-        out = model.apply(variables, *inputs, train=False)
-        return {k: v.astype(jnp.float32) for k, v in out.items()}
+    apply = make_bf16_apply(model)
 
     T = 32
     projs, imgs = synthetic.make_sequence(jax.random.PRNGKey(1), 2)
@@ -113,12 +118,12 @@ def main():
     )
     fps = timed_fps(run, video, T)
 
+    import dataclasses
+
     extras = {}
     if not args.quick:
         # feature-cache + warm-start-PnP fast paths combined
         # (infer/detector.py; docs/PERF.md documents both deviations)
-        import dataclasses
-
         fast_cfg = dataclasses.replace(
             cfg, infer=dataclasses.replace(cfg.infer, pnp_warm_start=True)
         )
@@ -128,7 +133,7 @@ def main():
         )
         extras["fps_fast_path"] = round(timed_fps(cached, video, T, reps=2), 2)
 
-    if args.full:
+    if args.full and not args.quick:  # --quick wins: primary metric only
         # batched multi-video (production fill; videos are independent)
         NV = 8
         batched_video = det_lib.VideoFrames(
@@ -144,17 +149,12 @@ def main():
         )
 
         # Pallas fused biased attention (ops/attention_kernel.py)
-        import dataclasses
-
         fcfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, fused_attention=True)
         )
         fmodel = create_model(fcfg.model)
 
-        def fapply(variables, *inputs):
-            inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
-            out = fmodel.apply(variables, *inputs, train=False)
-            return {k: v.astype(jnp.float32) for k, v in out.items()}
+        fapply = make_bf16_apply(fmodel)
 
         try:
             frun = det_lib.make_video_detector(

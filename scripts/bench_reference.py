@@ -69,14 +69,17 @@ def main():
 
     import cv2
 
+    if len(frames) <= args.warmup:
+        raise SystemExit(
+            f"--frames ({len(frames)}) must exceed --warmup ({args.warmup}) "
+            "or the mean would be over an empty set"
+        )
     times = []
     torch.set_num_threads(os.cpu_count() or 8)
     with torch.no_grad():
         for j, fname in enumerate(frames):
             img = cv2.imread(os.path.join(vdir, fname + "_color.png"))
             json_path = os.path.join(vdir, fname + "_meta.json")
-            prev_json = (os.path.join(vdir, frames[j - 1] + "_meta.json")
-                         if j > 0 else json_path)
             t0 = time.perf_counter()
             detector.run(img, j, json_path, is_final=True)
             dt = time.perf_counter() - t0

@@ -66,10 +66,11 @@ def main():
         r, fps = evaluate_runner(run, cfg, vids, args.frames)
         km, pm = r["keypoint_metrics"], r["pnp_metrics"]
         results[mode] = (km, pm)
+        # zero-detection runs return None for the L2/ADD stats
         print(
-            f"{mode:8s} PCK={km['l2_error_auc']:.4f} "
-            f"L2={km['l2_error_mean_px']:.4f}px "
-            f"ADD_AUC={pm['add_auc']:.4f} ADD_mean={pm['add_mean']:.5f}m "
+            f"{mode:8s} PCK={km['l2_error_auc'] or 0.0:.4f} "
+            f"L2={km['l2_error_mean_px'] or -1.0:.4f}px "
+            f"ADD_AUC={pm['add_auc']:.4f} ADD_mean={pm['add_mean'] or -1.0:.5f}m "
             f"({fps:.1f} fps incl compile)",
             flush=True,
         )

@@ -58,20 +58,17 @@ def main():
         {"params": state.params, "batch_stats": state.batch_stats}
     )
 
-    from sgtapose_tpu.eval.synthetic_eval import make_bf16_apply
+    from sgtapose_tpu.eval.synthetic_eval import make_bf16_apply, make_eval_videos
 
     apply = make_bf16_apply(model)
 
-    # held-out synthetic videos (same generator family as train_demo's eval)
+    # held-out synthetic videos — the SAME set definition train_demo and
+    # eval_decode_modes use (single source of truth for the PRNG derivation)
     videos = []
-    for v in range(args.videos):
-        rv = jax.random.fold_in(jax.random.PRNGKey(args.seed + 99), v)
-        projs, imgs, pos_cam = synthetic.make_sequence(
-            rv, args.frames, return_pos_cam=True
-        )
+    for projs, imgs, pos_cam in make_eval_videos(args.videos, args.frames, args.seed):
         images, _, _ = det_lib.preprocess_frames(imgs, base_cfg)
         x3d = jnp.tile(synthetic.SKELETON[None], (args.frames, 1, 1))
-        videos.append((images, x3d, np.asarray(projs), np.asarray(pos_cam)))
+        videos.append((images, x3d, projs, np.asarray(pos_cam)))
 
     def evaluate(name, make_runner):
         run = make_runner()

@@ -23,8 +23,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the model-gradient compiles dominate test
 # wall-time; cache them across runs.
-os.makedirs("/root/repo/.cache/jax", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+_CACHE = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

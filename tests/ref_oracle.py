@@ -397,7 +397,7 @@ def make_detector_opt(input_res=480, **overrides):
         device=_torch.device("cpu"),
         arch="dlapawdl3new_34",
         heads=HEADS,
-        head_conv={k: [256] for k in HEADS},
+        head_conv=dict(HEAD_CONVS),
         num_classes=7,
         test_focal_length=-1,
         no_pause=True,
