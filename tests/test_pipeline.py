@@ -276,3 +276,24 @@ def test_schedule_zero_warmup_no_nan():
         assert np.isfinite(v) and v >= 0.0
     # and genuinely NO warmup: step 0 trains at (near-)base lr, not ~0
     assert float(sched(0)) > 1e-4
+
+
+def test_eval_predict_step_matches_separate_calls(raw_batch):
+    """The fused val-loop step (one forward for loss + decode heads) must
+    reproduce eval_step's stats and predict_step's heads exactly."""
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=10)
+    fn = pipeline.make_batch_fn(TINY, synthetic.camera_K(), augment=False)
+    batch = fn(jax.random.PRNGKey(1), raw_batch)
+
+    stats_sep = trainer.eval_step(state, batch)
+    pred_sep = trainer.predict_step(state, batch)
+    stats_fused, pred_fused = trainer.eval_predict_step(state, batch)
+
+    for k in stats_sep:
+        np.testing.assert_allclose(
+            np.asarray(stats_fused[k]), np.asarray(stats_sep[k]), rtol=1e-6
+        )
+    for k in pred_sep:
+        np.testing.assert_allclose(
+            np.asarray(pred_fused[k]), np.asarray(pred_sep[k]), rtol=1e-6
+        )
