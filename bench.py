@@ -133,6 +133,19 @@ def main():
         )
         extras["fps_fast_path"] = round(timed_fps(cached, video, T, reps=2), 2)
 
+        # int8 serving path: quantizable convs run s8xs8->s32 on the MXU
+        # (models/layers.py; accuracy measured in docs/PERF.md)
+        try:
+            qrun = det_lib.make_video_detector(
+                make_bf16_apply(model, quant="int8"), variables, cfg,
+                synthetic.camera_K(),
+                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+            )
+            extras["fps_int8"] = round(timed_fps(qrun, video, T, reps=2), 2)
+        except Exception as e:  # int8 conv may not lower on every backend
+            extras["fps_int8"] = None
+            print(f"int8 bench failed: {e}", file=sys.stderr)
+
     if args.full and not args.quick:  # --quick wins: primary metric only
         # batched multi-video (production fill; videos are independent)
         NV = 8

@@ -119,6 +119,13 @@ def main():
             model, variables, cfg_with(False), K, raw_hw)),
         evaluate("cache+warm", lambda: det_lib.make_cached_video_detector(
             model, variables, cfg_with(True), K, raw_hw)),
+        # int8 serving mode (models/layers.py): quantizable convs as
+        # s8xs8->s32 on the MXU; exact recurrence otherwise
+        evaluate("int8", lambda: det_lib.make_video_detector(
+            make_bf16_apply(model, quant="int8"), variables,
+            cfg_with(False), K, raw_hw)),
+        evaluate("int8+cache+warm", lambda: det_lib.make_cached_video_detector(
+            model, variables, cfg_with(True), K, raw_hw, quant="int8")),
     ]
     return rows
 

@@ -32,12 +32,19 @@ from sgtapose_tpu.models.sgta import create_model
 from sgtapose_tpu.train import trainer
 
 
-def _make_apply(model):
-    """Inference apply wrapper shared by all run_* entries."""
+def _make_apply(model, quant=None):
+    """Inference apply wrapper shared by all run_* entries.
+
+    quant="int8" runs the quantizable convs as s8xs8->s32 on the MXU
+    (models/layers.py — a serving mode beyond reference parity)."""
 
     def apply(variables, *inputs):
         return model.apply(variables, *inputs, train=False)
 
+    if quant is not None:
+        from sgtapose_tpu.models.layers import quantized_apply
+
+        apply = quantized_apply(apply, quant)
     return apply
 
 
@@ -62,6 +69,10 @@ def parse_args(argv=None):
     p.add_argument("--ref_sort", default="score", choices=["score", "y"],
                    help="peak ambiguity ordering; 'y' reproduces the "
                         "reference's exact behavior for parity evals")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="quantized serving mode: quantizable convs execute "
+                        "as s8xs8->s32 on the MXU (models/layers.py; "
+                        "accuracy/fps measured in docs/PERF.md)")
     p.add_argument("--decode_coord", default="reg",
                    choices=["reg", "avg", "logquad", "mean"],
                    help="final sub-pixel coordinate estimator (see "
@@ -304,7 +315,7 @@ def run_synthetic(args, cfg: Config, model, variables):
     videos = list_synthetic_videos(args.dataset)
     names = list(videos)[: args.max_videos] if args.max_videos else list(videos)
 
-    apply = _make_apply(model)
+    apply = _make_apply(model, args.quant)
 
     all_det, all_gt, all_pos, sample_names = [], [], [], []
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
@@ -383,7 +394,7 @@ def run_real(args, cfg: Config, model, variables):
     video_imgs = split["img_paths"]
     kp_names = KEYPOINT_NAMES["panda"]
 
-    apply = _make_apply(model)
+    apply = _make_apply(model, args.quant)
 
     all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
     loop = _VideoLoop(args, apply, variables, cfg, camera_K)
@@ -461,7 +472,7 @@ def run_depth(args, cfg: Config, model, variables):
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     object_name = args.object_name or "Franka_Emika_Panda"
 
-    apply = _make_apply(model)
+    apply = _make_apply(model, args.quant)
 
     imgs, projs, pos_cam = [], [], []
     for img_path, js_path in zip(pngs, jsons):

@@ -25,14 +25,22 @@ from sgtapose_tpu.infer import detector as det_lib
 from sgtapose_tpu.utils.precision import cast_floating
 
 
-def make_bf16_apply(model) -> Callable:
-    """Inference apply fn: bf16 inputs/compute, f32 head outputs."""
+def make_bf16_apply(model, quant: str | None = None) -> Callable:
+    """Inference apply fn: bf16 inputs/compute, f32 head outputs.
+
+    quant="int8": quantizable convs (models/layers.py) execute as
+    s8 x s8 -> s32 on the MXU — a serving mode beyond reference parity
+    (accuracy/fps measured in docs/PERF.md)."""
 
     def apply(variables, *inputs):
         inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
         out = model.apply(variables, *inputs, train=False)
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
+    if quant is not None:
+        from sgtapose_tpu.models.layers import quantized_apply
+
+        apply = quantized_apply(apply, quant)
     return apply
 
 

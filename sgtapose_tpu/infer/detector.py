@@ -466,7 +466,13 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
     return run_video
 
 
-def make_cached_video_detector(model, variables, cfg, camera_K, raw_hw):
+def make_cached_video_detector(model, variables, cfg, camera_K, raw_hw, quant=None):
     """Jitted feature-cache detector (one trunk pass per frame; see
-    _build_cached_video_runner for semantics)."""
-    return jax.jit(_build_cached_video_runner(model, variables, cfg, camera_K, raw_hw))
+    _build_cached_video_runner for semantics). quant="int8" additionally runs
+    the quantizable convs as s8xs8->s32 (models/layers.py)."""
+    fn = _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw)
+    if quant is not None:
+        from sgtapose_tpu.models.layers import quantized_apply
+
+        fn = quantized_apply(fn, quant)
+    return jax.jit(fn)

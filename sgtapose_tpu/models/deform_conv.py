@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from sgtapose_tpu.models.layers import Conv
+
 
 def _sample_pieces(feat, offsets, masks, row0=0.0):
     """Shared forward/backward plumbing: corner values, weights, indices.
@@ -344,7 +346,9 @@ class DeformConv2d(nn.Module):
             flat = deform_sample_batch(x, offsets, masks)  # (B,H,W,9*C)
 
         # kernel contraction on the MXU: (9*C_in) -> features
-        out = nn.Conv(
+        # (quantizable: the big matmul; the offset/mask conv above stays
+        # full-precision — offsets are geometry, not features)
+        out = Conv(
             self.features,
             kernel_size=(1, 1),
             use_bias=self.use_bias,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from sgtapose_tpu.models.deform_conv import DeformConv2d
+from sgtapose_tpu.models.layers import Conv
 
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum(0.1)
 
@@ -40,7 +41,7 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = Conv(
             self.features,
             kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -66,7 +67,7 @@ class BasicBlock(nn.Module):
         if residual is None:
             residual = x
         out = ConvBnAct(self.features, 3, self.stride, self.dilation)(x, train)
-        out = nn.Conv(
+        out = Conv(
             self.features,
             kernel_size=(3, 3),
             padding=self.dilation,
@@ -86,7 +87,7 @@ class Root(nn.Module):
     @nn.compact
     def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
         x = jnp.concatenate(children, axis=-1)
-        x = nn.Conv(self.features, kernel_size=(1, 1), use_bias=False)(x)
+        x = Conv(self.features, kernel_size=(1, 1), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
         if self.residual:
             x = x + children[0]
@@ -123,7 +124,7 @@ class Tree(nn.Module):
 
         if self.levels == 1:
             if self.in_features != self.features:
-                proj = nn.Conv(
+                proj = Conv(
                     self.features, kernel_size=(1, 1), use_bias=False, name="project_conv"
                 )(bottom)
                 proj = nn.BatchNorm(
@@ -164,7 +165,7 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, kernel_size=(7, 7), padding=3, use_bias=False)(x)
+        x = Conv(self.features, kernel_size=(7, 7), padding=3, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
         return nn.relu(x)
 
@@ -269,7 +270,7 @@ class DeformNode(nn.Module):
             cls = nn.remat(DeformConv2d) if self.dcn_remat else DeformConv2d
             x = cls(self.features, chunks=self.dcn_chunks, name="conv")(x)
         else:
-            x = nn.Conv(self.features, kernel_size=(1, 1), use_bias=False, name="conv")(x)
+            x = Conv(self.features, kernel_size=(1, 1), use_bias=False, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM)(x)
         return nn.relu(x)
 

@@ -1,0 +1,123 @@
+"""Quantization-aware conv layer: a drop-in `nn.Conv` whose convolution can
+execute as s8 x s8 -> s32 on the MXU (TPU v5e int8 throughput is 2x bf16),
+selected at trace time by a context flag.
+
+Design constraints (why this shape):
+  * The param tree must stay byte-identical to `nn.Conv` so reference-converted
+    and previously trained checkpoints load unchanged. We subclass `nn.Conv`
+    under the SAME class name (Flax auto-names modules by class name, so
+    `Conv_0`, `Conv_1`, ... are preserved) and override only the
+    `conv_general_dilated` execution hook Flax exposes — param creation, bias
+    add, padding canonicalization all remain Flax's.
+  * Quantization is an inference-serving mode, not a training change: the
+    stored weights stay bf16/f32 and are quantized inside the traced program
+    (XLA hoists the loop-invariant weight quantization out of the detector's
+    `lax.scan` over frames).
+  * Mode selection is a Python-level context read at TRACE time: wrap the
+    model's apply in `with quantized("int8"):` (see `quantized_apply`) so any
+    (re)trace of that callable bakes the int8 path.
+
+Numerics: symmetric per-output-channel weight scales (max-abs / 127) and a
+dynamic symmetric per-tensor activation scale, accumulating in int32 and
+rescaling to the input dtype. The reference has no quantized path — this is a
+TPU-serving extension beyond parity (measured in docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as nn
+
+_MODE = {"mode": None}
+
+
+def quant_mode() -> Optional[str]:
+    return _MODE["mode"]
+
+
+@contextmanager
+def quantized(mode: str = "int8"):
+    """Enable quantized conv execution for code traced inside this context."""
+    if mode not in ("int8",):
+        raise ValueError(f"unknown quantization mode {mode!r}")
+    prev = _MODE["mode"]
+    _MODE["mode"] = mode
+    try:
+        yield
+    finally:
+        _MODE["mode"] = prev
+
+
+def quantized_apply(apply_fn: Callable, mode: str = "int8") -> Callable:
+    """Wrap an apply function so every trace of it runs under `quantized`."""
+
+    def wrapped(*args, **kwargs):
+        with quantized(mode):
+            return apply_fn(*args, **kwargs)
+
+    return wrapped
+
+
+def _int8_conv(lhs, rhs, strides, padding, *, lhs_dilation, rhs_dilation,
+               dimension_numbers, feature_group_count, precision):
+    """s8 x s8 -> s32 convolution with dynamic activation scale.
+
+    lhs: activations (promoted dtype, e.g. bf16); rhs: kernel.
+    Falls back to the float conv for transposed (lhs-dilated) or grouped
+    forms, which are bandwidth-bound and not worth quantizing.
+    """
+    if feature_group_count != 1 or any(d != 1 for d in lhs_dilation):
+        return lax.conv_general_dilated(
+            lhs, rhs, strides, padding, lhs_dilation=lhs_dilation,
+            rhs_dilation=rhs_dilation, dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count, precision=precision)
+
+    out_dtype = lhs.dtype
+    # kernel out-channel axis from the dim spec; reduce scales over the rest
+    rhs_spec = dimension_numbers.rhs_spec  # (out_c, in_c, *spatial)
+    out_axis = rhs_spec[0]
+    w = rhs.astype(jnp.float32)
+    reduce_axes = tuple(a for a in range(w.ndim) if a != out_axis)
+    w_scale = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True) / 127.0
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    w_q = jnp.round(w / w_scale).astype(jnp.int8)
+
+    x = lhs.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+
+    y = lax.conv_general_dilated(
+        x_q, w_q, strides, padding, lhs_dilation=lhs_dilation,
+        rhs_dilation=rhs_dilation, dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32)
+
+    # broadcast the per-out-channel weight scale onto the output feature axis
+    out_spec = dimension_numbers.out_spec  # (batch, feature, *spatial)
+    feat_axis = out_spec[1]
+    shape = [1] * y.ndim
+    shape[feat_axis] = y.shape[feat_axis]
+    scale = (w_scale.reshape(-1) * a_scale).reshape(shape)
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def _dispatching_conv(lhs, rhs, strides, padding, **kw):
+    if _MODE["mode"] == "int8":
+        return _int8_conv(lhs, rhs, strides, padding, **kw)
+    return lax.conv_general_dilated(lhs, rhs, strides, padding, **kw)
+
+
+class Conv(nn.Conv):
+    """`nn.Conv` whose execution switches to int8 under `quantized()`.
+
+    Identical param tree and auto-naming to `nn.Conv` (same class name).
+    Sites that must stay full precision (offset/head output convs) simply
+    keep using `nn.Conv`.
+    """
+
+    conv_general_dilated: Optional[Callable[..., Any]] = _dispatching_conv

@@ -28,6 +28,7 @@ import flax.linen as nn
 from sgtapose_tpu.config import ModelConfig
 from sgtapose_tpu.models import attention as attn_lib
 from sgtapose_tpu.models.dla import DLA34Backbone, DLAUp, IDAUp, Stem
+from sgtapose_tpu.models.layers import Conv
 
 
 class HeadConv(nn.Module):
@@ -40,7 +41,9 @@ class HeadConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.head_conv, kernel_size=(3, 3), padding=1, use_bias=True)(x)
+        # the 3x3 is quantizable; the 1x1 output conv stays full-precision
+        # (hm/reg values feed sub-pixel decode directly)
+        x = Conv(self.head_conv, kernel_size=(3, 3), padding=1, use_bias=True)(x)
         x = nn.relu(x)
         return nn.Conv(
             self.classes,

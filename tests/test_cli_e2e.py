@@ -84,6 +84,24 @@ def test_train_then_infer(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_quant_int8(tmp_path):
+    """--quant int8 runs the streaming detector with quantized convs
+    (models/layers.py serving mode) end-to-end from the CLI."""
+    data_dir = str(tmp_path / "syn")
+    res_dir = str(tmp_path / "q_results")
+    write_synthetic_dataset(data_dir, n_videos=1, n_frames=2, seed=0)
+
+    from sgtapose_tpu.cli import infer as infer_cli
+
+    results = infer_cli.main(
+        ["--dataset", data_dir, "--output_dir", res_dir, "--quant", "int8"]
+        + COMMON
+    )
+    assert results["keypoint_metrics"]["num_gt_inframe"] > 0
+    assert os.path.exists(os.path.join(res_dir, "syn_analysis_results.txt"))
+
+
+@pytest.mark.slow
 def test_train_non_default_phase_with_validation(tmp_path):
     """Regression: eval_step used to hardcode phase PlanA_win, so
     `--phase CenterNet --val_dataset X` crashed (wrong input arity) at the

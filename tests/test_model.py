@@ -78,6 +78,29 @@ def test_batch_invariance(model_and_vars):
     )
 
 
+def test_int8_quantized_forward(model_and_vars):
+    """int8 serving mode (models/layers.py): same param tree (the quantizable
+    Conv subclass keeps nn.Conv's auto-naming), small output deviation, and
+    the context flag restores cleanly."""
+    from sgtapose_tpu.models import layers
+
+    model, variables = model_and_vars
+    inp = tiny_inputs()
+    out_f = model.apply(variables, **inp, train=False)
+    qapply = layers.quantized_apply(
+        lambda v, **kw: model.apply(v, **kw, train=False)
+    )
+    assert layers.quant_mode() is None  # flag restored after wrapping
+    out_q = qapply(variables, **inp)
+    assert layers.quant_mode() is None
+    for k in out_f:
+        d = np.abs(np.asarray(out_f[k]) - np.asarray(out_q[k]))
+        assert d.max() < 0.05, (k, d.max())  # int8 quantization error bound
+        assert d.max() > 0.0, "quantized path did not engage"
+    with pytest.raises(ValueError):
+        layers.quantized("fp4").__enter__()
+
+
 def test_topk_class_indices():
     hm = jnp.zeros((1, 8, 10, 2))
     hm = hm.at[0, 3, 4, 0].set(1.0)  # class 0 peak at (x=4, y=3)
