@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--reg_weight", type=float, default=0.01,
                    help="sub-pixel offset loss weight (reference default "
                         "0.01; raise to sharpen decode precision)")
+    p.add_argument("--quant_train", action="store_true",
+                   help="QAT fine-tune mode: train with fake-quantized convs "
+                        "(straight-through int8 noise, models/layers.py) and "
+                        "evaluate with real int8 serving")
     return p.parse_args(argv)
 
 
@@ -78,12 +82,14 @@ def main(argv=None):
         print(f"warm-started params from {args.init_ckpt}")
     batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
     raw_fn = jax.jit(functools.partial(synthetic.make_raw_batch, batch_size=args.batch))
-    step_fn = jax.jit(
-        functools.partial(
-            trainer.train_step, bf16=args.bf16, reg_weight=args.reg_weight
-        ),
-        donate_argnums=0,
+    step = functools.partial(
+        trainer.train_step, bf16=args.bf16, reg_weight=args.reg_weight
     )
+    if args.quant_train:
+        from sgtapose_tpu.models.layers import quantized_apply
+
+        step = quantized_apply(step, "int8_train")
+    step_fn = jax.jit(step, donate_argnums=0)
 
     print(f"training {args.steps} steps, batch {args.batch}, bf16={args.bf16}")
     t0 = time.time()
@@ -126,7 +132,8 @@ def main(argv=None):
     variables = bf16_inference_variables(variables)
 
     run = det_lib.make_video_detector(
-        make_bf16_apply(model), variables, cfg, synthetic.camera_K(),
+        make_bf16_apply(model, quant="int8" if args.quant_train else None),
+        variables, cfg, synthetic.camera_K(),
         raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
     )
     vids = make_eval_videos(args.eval_videos, args.eval_frames, args.seed)

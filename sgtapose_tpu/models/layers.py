@@ -42,8 +42,14 @@ def quant_mode() -> Optional[str]:
 
 @contextmanager
 def quantized(mode: str = "int8"):
-    """Enable quantized conv execution for code traced inside this context."""
-    if mode not in ("int8",):
+    """Enable quantized conv execution for code traced inside this context.
+
+    "int8": real s8 x s8 -> s32 execution (serving; not differentiable).
+    "int8_train": fake-quant — float conv on straight-through-quantized
+    operands, same numerics as "int8" up to accumulator rounding, fully
+    differentiable (QAT fine-tunes against serving-time quantization noise).
+    """
+    if mode not in ("int8", "int8_train"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     prev = _MODE["mode"]
     _MODE["mode"] = mode
@@ -63,11 +69,44 @@ def quantized_apply(apply_fn: Callable, mode: str = "int8") -> Callable:
     return wrapped
 
 
+def _quantize_operands(lhs, rhs, dimension_numbers):
+    """Shared int8 quantization math: per-out-channel weight scales, dynamic
+    per-tensor activation scale. Returns (x_q, w_q, scale_fn) where x_q/w_q
+    are the QUANTIZED-VALUE tensors still in float32 (caller picks execution:
+    cast to int8 for serving, rescale in float for fake-quant/QAT) and
+    scale_fn(y, ndim) broadcasts the combined rescale onto the output."""
+    rhs_spec = dimension_numbers.rhs_spec  # (out_c, in_c, *spatial)
+    out_axis = rhs_spec[0]
+    w = rhs.astype(jnp.float32)
+    reduce_axes = tuple(a for a in range(w.ndim) if a != out_axis)
+    w_scale = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True) / 127.0
+    w_scale = jnp.maximum(lax.stop_gradient(w_scale), 1e-12)
+    w_q = jnp.round(w / w_scale)
+
+    x = lhs.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    a_scale = lax.stop_gradient(a_scale)
+    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127)
+
+    out_spec = dimension_numbers.out_spec  # (batch, feature, *spatial)
+    feat_axis = out_spec[1]
+
+    def rescale(y):
+        shape = [1] * y.ndim
+        shape[feat_axis] = y.shape[feat_axis]
+        return y * (w_scale.reshape(-1) * a_scale).reshape(shape)
+
+    return x_q, w_q, x, w, a_scale, w_scale, rescale
+
+
 def _int8_conv(lhs, rhs, strides, padding, *, lhs_dilation, rhs_dilation,
-               dimension_numbers, feature_group_count, precision):
+               dimension_numbers, feature_group_count, precision,
+               fake: bool = False):
     """s8 x s8 -> s32 convolution with dynamic activation scale.
 
     lhs: activations (promoted dtype, e.g. bf16); rhs: kernel.
+    fake=True (mode "int8_train"): float conv on straight-through-quantized
+    operands — same quantization noise, differentiable for QAT.
     Falls back to the float conv for transposed (lhs-dilated) or grouped
     forms, which are bandwidth-bound and not worth quantizing.
     """
@@ -78,37 +117,34 @@ def _int8_conv(lhs, rhs, strides, padding, *, lhs_dilation, rhs_dilation,
             feature_group_count=feature_group_count, precision=precision)
 
     out_dtype = lhs.dtype
-    # kernel out-channel axis from the dim spec; reduce scales over the rest
-    rhs_spec = dimension_numbers.rhs_spec  # (out_c, in_c, *spatial)
-    out_axis = rhs_spec[0]
-    w = rhs.astype(jnp.float32)
-    reduce_axes = tuple(a for a in range(w.ndim) if a != out_axis)
-    w_scale = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True) / 127.0
-    w_scale = jnp.maximum(w_scale, 1e-12)
-    w_q = jnp.round(w / w_scale).astype(jnp.int8)
+    x_q, w_q, x, w, a_scale, w_scale, rescale = _quantize_operands(
+        lhs, rhs, dimension_numbers)
 
-    x = lhs.astype(jnp.float32)
-    a_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
-    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    if fake:
+        # straight-through: forward sees the dequantized values, backward
+        # flows as if no rounding happened
+        x_fq = x + lax.stop_gradient(x_q * a_scale - x)
+        w_fq = w + lax.stop_gradient(w_q * w_scale - w)
+        y = lax.conv_general_dilated(
+            x_fq, w_fq, strides, padding, lhs_dilation=lhs_dilation,
+            rhs_dilation=rhs_dilation, dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count)
+        return y.astype(out_dtype)
 
     y = lax.conv_general_dilated(
-        x_q, w_q, strides, padding, lhs_dilation=lhs_dilation,
-        rhs_dilation=rhs_dilation, dimension_numbers=dimension_numbers,
+        x_q.astype(jnp.int8), w_q.astype(jnp.int8), strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32)
-
-    # broadcast the per-out-channel weight scale onto the output feature axis
-    out_spec = dimension_numbers.out_spec  # (batch, feature, *spatial)
-    feat_axis = out_spec[1]
-    shape = [1] * y.ndim
-    shape[feat_axis] = y.shape[feat_axis]
-    scale = (w_scale.reshape(-1) * a_scale).reshape(shape)
-    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+    return rescale(y.astype(jnp.float32)).astype(out_dtype)
 
 
 def _dispatching_conv(lhs, rhs, strides, padding, **kw):
     if _MODE["mode"] == "int8":
         return _int8_conv(lhs, rhs, strides, padding, **kw)
+    if _MODE["mode"] == "int8_train":
+        return _int8_conv(lhs, rhs, strides, padding, fake=True, **kw)
     return lax.conv_general_dilated(lhs, rhs, strides, padding, **kw)
 
 

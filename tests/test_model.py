@@ -101,6 +101,36 @@ def test_int8_quantized_forward(model_and_vars):
         layers.quantized("fp4").__enter__()
 
 
+def test_int8_train_fake_quant_gradients():
+    """QAT mode "int8_train": fake-quant forward tracks the real-int8 forward,
+    and gradients flow (straight-through) — finite and nonzero."""
+    import flax.linen as nn
+    from sgtapose_tpu.models import layers
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return layers.Conv(8, kernel_size=(3, 3), padding=1)(x)
+
+    m = M()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    v = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(params, mode):
+        fn = layers.quantized_apply(m.apply, mode)
+        return jnp.sum(fn({"params": params}, x) ** 2)
+
+    l_serve = loss(v["params"], "int8")
+    l_fake = loss(v["params"], "int8_train")
+    # same quantization noise up to accumulator rounding
+    assert abs(float(l_serve) - float(l_fake)) < 1e-3 * max(1.0, float(l_serve))
+    g = jax.grad(lambda p: loss(p, "int8_train"))(v["params"])
+    gn = float(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+    )
+    assert np.isfinite(gn) and gn > 0.0
+
+
 def test_topk_class_indices():
     hm = jnp.zeros((1, 8, 10, 2))
     hm = hm.at[0, 3, 4, 0].set(1.0)  # class 0 peak at (x=4, y=3)
