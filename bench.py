@@ -133,12 +133,21 @@ def main():
         )
         extras["fps_fast_path"] = round(timed_fps(cached, video, T, reps=2), 2)
 
-        # int8 serving path: quantizable convs run s8xs8->s32 on the MXU
-        # (models/layers.py; accuracy measured in docs/PERF.md)
+        # int8 serving path: quantizable convs run s8xs8->s32 on the MXU with
+        # CALIBRATED static activation scales (models/layers.py — dynamic
+        # per-tensor scales measured slower than bf16; docs/PERF.md)
         try:
+            from sgtapose_tpu.eval.synthetic_eval import calibration_inputs
+            from sgtapose_tpu.models import layers as qlayers
+
+            fp_apply = make_bf16_apply(model)
+            scales = qlayers.calibrate(
+                lambda *a: fp_apply(variables, *a),
+                calibration_inputs(cfg, n_frames=2),
+            )
             qrun = det_lib.make_video_detector(
-                make_bf16_apply(model, quant="int8"), variables, cfg,
-                synthetic.camera_K(),
+                make_bf16_apply(model, quant="int8", quant_scales=scales),
+                variables, cfg, synthetic.camera_K(),
                 raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
             )
             extras["fps_int8"] = round(timed_fps(qrun, video, T, reps=2), 2)

@@ -105,6 +105,15 @@ def main():
     K = synthetic.camera_K()
     raw_hw = (synthetic.RAW_H, synthetic.RAW_W)
 
+    def _calibrate():
+        from sgtapose_tpu.eval.synthetic_eval import calibration_inputs
+        from sgtapose_tpu.models import layers as qlayers
+
+        return qlayers.calibrate(
+            lambda *a: apply(variables, *a),
+            calibration_inputs(base_cfg, n_frames=4, seed=args.seed),
+        )
+
     def cfg_with(warm):
         return dataclasses.replace(
             base_cfg, infer=dataclasses.replace(base_cfg.infer, pnp_warm_start=warm)
@@ -120,11 +129,16 @@ def main():
         evaluate("cache+warm", lambda: det_lib.make_cached_video_detector(
             model, variables, cfg_with(True), K, raw_hw)),
         # int8 serving mode (models/layers.py): quantizable convs as
-        # s8xs8->s32 on the MXU; exact recurrence otherwise
+        # s8xs8->s32 on the MXU with calibrated static activation scales;
+        # exact recurrence otherwise
         evaluate("int8", lambda: det_lib.make_video_detector(
+            make_bf16_apply(model, quant="int8", quant_scales=_calibrate()),
+            variables, cfg_with(False), K, raw_hw)),
+        # dynamic-scale variant (no calibration needed; slower, accuracy ref)
+        evaluate("int8_dyn", lambda: det_lib.make_video_detector(
             make_bf16_apply(model, quant="int8"), variables,
             cfg_with(False), K, raw_hw)),
-        evaluate("int8+cache+warm", lambda: det_lib.make_cached_video_detector(
+        evaluate("int8_dyn+cache+warm", lambda: det_lib.make_cached_video_detector(
             model, variables, cfg_with(True), K, raw_hw, quant="int8")),
     ]
     return rows

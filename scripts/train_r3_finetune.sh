@@ -28,4 +28,12 @@ python -m sgtapose_tpu.cli.train_demo --steps 3000 --batch 8 --bf16 \
   --ckpt_out "$OUT/ft_reg01" \
   --eval_videos 6 --eval_frames 16 2>&1 | tee "$OUT/ft_reg01.log"
 
+# Phase D (QAT): +3k fine-tune steps under fake-quant (straight-through int8
+# noise, models/layers.py) from the same base; eval runs real int8 serving.
+# D vs B isolates how much accuracy QAT recovers for the int8 serving mode.
+python -m sgtapose_tpu.cli.train_demo --steps 3000 --batch 8 --bf16 \
+  --init_ckpt "$OUT/base" --reg_weight 0.01 --lr 2.5e-4 --quant_train \
+  --ckpt_out "$OUT/ft_qat" \
+  --eval_videos 6 --eval_frames 16 2>&1 | tee "$OUT/ft_qat.log"
+
 echo "ALL PHASES DONE"

@@ -25,12 +25,16 @@ from sgtapose_tpu.infer import detector as det_lib
 from sgtapose_tpu.utils.precision import cast_floating
 
 
-def make_bf16_apply(model, quant: str | None = None) -> Callable:
+def make_bf16_apply(
+    model, quant: str | None = None, quant_scales=None
+) -> Callable:
     """Inference apply fn: bf16 inputs/compute, f32 head outputs.
 
     quant="int8": quantizable convs (models/layers.py) execute as
     s8 x s8 -> s32 on the MXU — a serving mode beyond reference parity
-    (accuracy/fps measured in docs/PERF.md)."""
+    (accuracy/fps measured in docs/PERF.md). quant_scales: calibrated
+    per-site activation maxima (layers.calibrate) — static scales, the fast
+    serving form."""
 
     def apply(variables, *inputs):
         inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
@@ -40,8 +44,29 @@ def make_bf16_apply(model, quant: str | None = None) -> Callable:
     if quant is not None:
         from sgtapose_tpu.models.layers import quantized_apply
 
-        apply = quantized_apply(apply, quant)
+        apply = quantized_apply(apply, quant, scales=quant_scales)
     return apply
+
+
+def calibration_inputs(model_cfg_or_cfg, n_frames: int = 4, seed: int = 0):
+    """Representative single-frame forward inputs for int8 calibration:
+    run the float detector's own preprocessing + GT-prior rendering on a
+    synthetic video, yielding (cur, pre, pre_hm, repro_hm, pre_cls, repro_cls)
+    tuples shaped like the streaming detector's per-frame model inputs."""
+    from sgtapose_tpu.data import pipeline as pipe
+
+    cfg = model_cfg_or_cfg
+    batch_fn = pipe.make_batch_fn(cfg, synthetic.camera_K())
+    out = []
+    for i in range(n_frames):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed + 4242), i)
+        raw = synthetic.make_raw_batch(jax.random.fold_in(k, 0), batch_size=1)
+        b = batch_fn(jax.random.fold_in(k, 1), raw)
+        out.append((
+            b["cur_img"], b["pre_img"], b["pre_hm"], b["repro_hm"],
+            b["pre_hm_cls"], b["repro_hm_cls"],
+        ))
+    return out
 
 
 def make_eval_videos(

@@ -101,6 +101,31 @@ def test_int8_quantized_forward(model_and_vars):
         layers.quantized("fp4").__enter__()
 
 
+def test_int8_static_scales(model_and_vars):
+    """Calibrated static-scale serving: layers.calibrate records one max per
+    quantizable conv site in call order, and the static-scale forward tracks
+    the float forward within int8 error."""
+    from sgtapose_tpu.models import layers
+
+    model, variables = model_and_vars
+    inp = tiny_inputs()
+    args = (
+        inp["cur_img"], inp["pre_img"], inp["pre_hm"], inp["repro_hm"],
+        inp["pre_hm_cls"], inp["repro_hm_cls"],
+    )
+    scales = layers.calibrate(
+        lambda *a: model.apply(variables, *a, train=False), [args]
+    )
+    assert len(scales) > 20 and all(s > 0 for s in scales)
+    out_f = model.apply(variables, *args, train=False)
+    out_q = layers.quantized_apply(
+        lambda v, *a: model.apply(v, *a, train=False), "int8", scales=scales
+    )(variables, *args)
+    for k in out_f:
+        d = np.abs(np.asarray(out_f[k]) - np.asarray(out_q[k]))
+        assert 0.0 < d.max() < 0.05, (k, d.max())
+
+
 def test_int8_train_fake_quant_gradients():
     """QAT mode "int8_train": fake-quant forward tracks the real-int8 forward,
     and gradients flow (straight-through) — finite and nonzero."""
