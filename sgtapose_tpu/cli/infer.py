@@ -32,19 +32,35 @@ from sgtapose_tpu.models.sgta import create_model
 from sgtapose_tpu.train import trainer
 
 
-def _make_apply(model, quant=None):
+def _make_apply(model, args, cfg=None, variables=None):
     """Inference apply wrapper shared by all run_* entries.
 
-    quant="int8" runs the quantizable convs as s8xs8->s32 on the MXU
-    (models/layers.py — a serving mode beyond reference parity)."""
+    --quant int8 runs the quantizable convs as s8xs8->s32 on the MXU
+    (models/layers.py — a serving mode beyond reference parity).
+    --quant_static additionally calibrates static activation scales on
+    synthetic frames shaped by cfg (the fast serving form; needs variables);
+    --quant_min_ch gates quantization to MXU-bound sites."""
 
     def apply(variables, *inputs):
         return model.apply(variables, *inputs, train=False)
 
-    if quant is not None:
-        from sgtapose_tpu.models.layers import quantized_apply
+    if getattr(args, "quant", None) is not None:
+        from sgtapose_tpu.models.layers import calibrate, quantized_apply
 
-        apply = quantized_apply(apply, quant)
+        scales = None
+        if getattr(args, "quant_static", False):
+            if cfg is None or variables is None:
+                raise ValueError("--quant_static needs cfg and variables")
+            from sgtapose_tpu.eval.synthetic_eval import calibration_inputs
+
+            scales = calibrate(
+                lambda *a: apply(variables, *a), calibration_inputs(cfg)
+            )
+            print(f"int8: calibrated {len(scales)} static activation scales")
+        apply = quantized_apply(
+            apply, args.quant, scales=scales,
+            min_ch=getattr(args, "quant_min_ch", 0),
+        )
     return apply
 
 
@@ -73,6 +89,13 @@ def parse_args(argv=None):
                    help="quantized serving mode: quantizable convs execute "
                         "as s8xs8->s32 on the MXU (models/layers.py; "
                         "accuracy/fps measured in docs/PERF.md)")
+    p.add_argument("--quant_static", action="store_true",
+                   help="calibrate static activation scales on synthetic "
+                        "frames before serving (faster than the default "
+                        "dynamic per-tensor scales; docs/PERF.md)")
+    p.add_argument("--quant_min_ch", type=int, default=0,
+                   help="quantize only convs with min(in_ch,out_ch) >= N "
+                        "(skip bandwidth-bound small-channel sites)")
     p.add_argument("--decode_coord", default="reg",
                    choices=["reg", "avg", "logquad", "mean"],
                    help="final sub-pixel coordinate estimator (see "
@@ -315,7 +338,7 @@ def run_synthetic(args, cfg: Config, model, variables):
     videos = list_synthetic_videos(args.dataset)
     names = list(videos)[: args.max_videos] if args.max_videos else list(videos)
 
-    apply = _make_apply(model, args.quant)
+    apply = _make_apply(model, args, cfg, variables)
 
     all_det, all_gt, all_pos, sample_names = [], [], [], []
     timer = StageTimer()  # per-stage buckets (ref sgta_detector.py:117-222)
@@ -394,7 +417,7 @@ def run_real(args, cfg: Config, model, variables):
     video_imgs = split["img_paths"]
     kp_names = KEYPOINT_NAMES["panda"]
 
-    apply = _make_apply(model, args.quant)
+    apply = _make_apply(model, args, cfg, variables)
 
     all_det, all_gt, all_pos, sample_names, json_list = [], [], [], [], []
     loop = _VideoLoop(args, apply, variables, cfg, camera_K)
@@ -472,7 +495,7 @@ def run_depth(args, cfg: Config, model, variables):
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     object_name = args.object_name or "Franka_Emika_Panda"
 
-    apply = _make_apply(model, args.quant)
+    apply = _make_apply(model, args, cfg, variables)
 
     imgs, projs, pos_cam = [], [], []
     for img_path, js_path in zip(pngs, jsons):

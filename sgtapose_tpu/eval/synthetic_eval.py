@@ -26,7 +26,7 @@ from sgtapose_tpu.utils.precision import cast_floating
 
 
 def make_bf16_apply(
-    model, quant: str | None = None, quant_scales=None
+    model, quant: str | None = None, quant_scales=None, quant_min_ch: int = 0
 ) -> Callable:
     """Inference apply fn: bf16 inputs/compute, f32 head outputs.
 
@@ -34,7 +34,8 @@ def make_bf16_apply(
     s8 x s8 -> s32 on the MXU — a serving mode beyond reference parity
     (accuracy/fps measured in docs/PERF.md). quant_scales: calibrated
     per-site activation maxima (layers.calibrate) — static scales, the fast
-    serving form."""
+    serving form. quant_min_ch: quantize only convs with
+    min(in_ch, out_ch) >= this (skip bandwidth-bound small sites)."""
 
     def apply(variables, *inputs):
         inputs = tuple(cast_floating(x, jnp.bfloat16) for x in inputs)
@@ -44,23 +45,33 @@ def make_bf16_apply(
     if quant is not None:
         from sgtapose_tpu.models.layers import quantized_apply
 
-        apply = quantized_apply(apply, quant, scales=quant_scales)
+        apply = quantized_apply(apply, quant, scales=quant_scales,
+                                min_ch=quant_min_ch)
     return apply
 
 
-def calibration_inputs(model_cfg_or_cfg, n_frames: int = 4, seed: int = 0):
+def calibration_inputs(cfg, n_frames: int = 4, seed: int = 0):
     """Representative single-frame forward inputs for int8 calibration:
     run the float detector's own preprocessing + GT-prior rendering on a
     synthetic video, yielding (cur, pre, pre_hm, repro_hm, pre_cls, repro_cls)
-    tuples shaped like the streaming detector's per-frame model inputs."""
+    tuples shaped like the streaming detector's per-frame model inputs.
+    Keypoint count follows cfg.model.num_classes (kuka/ur5e/depth configs)."""
     from sgtapose_tpu.data import pipeline as pipe
 
-    cfg = model_cfg_or_cfg
+    n_kp = cfg.model.num_classes
+    skel = synthetic.robot_skeleton(n_kp)
     batch_fn = pipe.make_batch_fn(cfg, synthetic.camera_K())
     out = []
     for i in range(n_frames):
         k = jax.random.fold_in(jax.random.PRNGKey(seed + 4242), i)
-        raw = synthetic.make_raw_batch(jax.random.fold_in(k, 0), batch_size=1)
+        projs, imgs = synthetic.make_sequence(
+            jax.random.fold_in(k, 0), 2, n_kp=n_kp
+        )
+        raw = pipe.RawSample(
+            prev_img=imgs[0][None], next_img=imgs[1][None],
+            prev_projs=projs[0][None], next_projs=projs[1][None],
+            prev_x3d_rob=skel[None], next_x3d_rob=skel[None],
+        )
         b = batch_fn(jax.random.fold_in(k, 1), raw)
         out.append((
             b["cur_img"], b["pre_img"], b["pre_hm"], b["repro_hm"],

@@ -466,13 +466,18 @@ def _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw):
     return run_video
 
 
-def make_cached_video_detector(model, variables, cfg, camera_K, raw_hw, quant=None):
+def make_cached_video_detector(model, variables, cfg, camera_K, raw_hw,
+                               quant=None, quant_scales=None,
+                               quant_min_ch=0):
     """Jitted feature-cache detector (one trunk pass per frame; see
     _build_cached_video_runner for semantics). quant="int8" additionally runs
-    the quantizable convs as s8xs8->s32 (models/layers.py)."""
+    the quantizable convs as s8xs8->s32 (models/layers.py); quant_scales /
+    quant_min_ch select calibrated static activation scales and the
+    channel-threshold gate."""
     fn = _build_cached_video_runner(model, variables, cfg, camera_K, raw_hw)
     if quant is not None:
         from sgtapose_tpu.models.layers import quantized_apply
 
-        fn = quantized_apply(fn, quant)
+        fn = quantized_apply(fn, quant, scales=quant_scales,
+                             min_ch=quant_min_ch)
     return jax.jit(fn)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-_MODE: dict = {"mode": None, "scales": None, "i": 0, "record": None}
+_MODE: dict = {"mode": None, "scales": None, "i": 0, "record": None,
+               "min_ch": 0}
 
 
 def quant_mode() -> Optional[str]:
@@ -41,7 +42,7 @@ def quant_mode() -> Optional[str]:
 
 
 @contextmanager
-def quantized(mode: str = "int8", scales=None):
+def quantized(mode: str = "int8", scales=None, min_ch: int = 0):
     """Enable quantized conv execution for code traced inside this context.
 
     "int8": real s8 x s8 -> s32 execution (serving; not differentiable).
@@ -56,12 +57,19 @@ def quantized(mode: str = "int8", scales=None):
     "int8_calib": float execution that RECORDS each conv's activation max-abs
       (run the apply EAGERLY — un-jitted — so sites execute in call order);
       read the result from the returned list via `calibrate`.
+
+    min_ch: quantize a site only when min(in_ch, out_ch) >= min_ch — small-
+      channel convs are HBM-bandwidth-bound, where the extra quantize/
+      dequantize elementwise passes cost more than the int8 MXU saving.
+      Scale bookkeeping is threshold-INDEPENDENT: calibration records (and
+      serving consumes) one scale per plain-conv site regardless of min_ch,
+      so one calibration serves any threshold.
     """
     if mode not in ("int8", "int8_train", "int8_calib"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     prev = dict(_MODE)
     _MODE.update(
-        mode=mode, scales=scales, i=0,
+        mode=mode, scales=scales, i=0, min_ch=min_ch,
         record=[] if mode == "int8_calib" else None,
     )
     try:
@@ -70,7 +78,8 @@ def quantized(mode: str = "int8", scales=None):
         _MODE.update(prev)
 
 
-def quantized_apply(apply_fn: Callable, mode: str = "int8", scales=None) -> Callable:
+def quantized_apply(apply_fn: Callable, mode: str = "int8", scales=None,
+                    min_ch: int = 0) -> Callable:
     """Wrap an apply function so every trace of it runs under `quantized`.
 
     The per-site counter resets on every call, so a jitted wrapper whose body
@@ -78,7 +87,7 @@ def quantized_apply(apply_fn: Callable, mode: str = "int8", scales=None) -> Call
     same order `calibrate` recorded them."""
 
     def wrapped(*args, **kwargs):
-        with quantized(mode, scales=scales):
+        with quantized(mode, scales=scales, min_ch=min_ch):
             return apply_fn(*args, **kwargs)
 
     return wrapped
@@ -196,17 +205,25 @@ def _dispatching_conv(lhs, rhs, strides, padding, **kw):
     )
     if mode == "int8_calib" and eligible:
         # record this site's activation max (caller runs eagerly, so this is
-        # a concrete value appended in call order), execute in float
+        # a concrete value appended in call order), execute in float.
+        # EVERY plain site is recorded, independent of min_ch (see quantized)
         _MODE["record"].append(jnp.max(jnp.abs(lhs.astype(jnp.float32))))
         return lax.conv_general_dilated(lhs, rhs, strides, padding, **kw)
-    if mode == "int8" and eligible:
+    if mode in ("int8", "int8_train") and eligible:
+        # min_ch gate: skip bandwidth-bound small-channel sites (the
+        # quantize/dequantize passes outweigh the int8 MXU saving there)
+        rhs_spec = kw["dimension_numbers"].rhs_spec
+        big = min(rhs.shape[rhs_spec[0]], rhs.shape[rhs_spec[1]]
+                  ) >= _MODE["min_ch"]
         a_max = None
-        if _MODE["scales"] is not None:
+        if mode == "int8" and _MODE["scales"] is not None:
+            # consume one scale per plain site even when gated, so one
+            # calibration serves any min_ch
             a_max = float(_MODE["scales"][_MODE["i"]])
             _MODE["i"] += 1
-        return _int8_conv(lhs, rhs, strides, padding, a_max=a_max, **kw)
-    if mode == "int8_train" and eligible:
-        return _int8_conv(lhs, rhs, strides, padding, fake=True, **kw)
+        if big:
+            return _int8_conv(lhs, rhs, strides, padding, a_max=a_max,
+                              fake=(mode == "int8_train"), **kw)
     return lax.conv_general_dilated(lhs, rhs, strides, padding, **kw)
 
 

@@ -100,6 +100,17 @@ def test_infer_quant_int8(tmp_path):
     assert results["keypoint_metrics"]["num_gt_inframe"] > 0
     assert os.path.exists(os.path.join(res_dir, "syn_analysis_results.txt"))
 
+    # static calibrated scales + channel gate (the fast serving form)
+    res_dir2 = str(tmp_path / "qs_results")
+    results = infer_cli.main(
+        [
+            "--dataset", data_dir, "--output_dir", res_dir2,
+            "--quant", "int8", "--quant_static", "--quant_min_ch", "64",
+        ]
+        + COMMON
+    )
+    assert results["keypoint_metrics"]["num_gt_inframe"] > 0
+
 
 @pytest.mark.slow
 def test_train_non_default_phase_with_validation(tmp_path):

@@ -125,6 +125,26 @@ def test_int8_static_scales(model_and_vars):
         d = np.abs(np.asarray(out_f[k]) - np.asarray(out_q[k]))
         assert 0.0 < d.max() < 0.05, (k, d.max())
 
+    # min_ch gate: an impossible threshold quantizes nothing (exact float
+    # reproduction), and a mid threshold still consumes the SAME scale list
+    # (one per plain site) while quantizing fewer sites -> smaller error
+    out_g = layers.quantized_apply(
+        lambda v, *a: model.apply(v, *a, train=False), "int8",
+        scales=scales, min_ch=10**6,
+    )(variables, *args)
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_f[k]), np.asarray(out_g[k]))
+    out_m = layers.quantized_apply(
+        lambda v, *a: model.apply(v, *a, train=False), "int8",
+        scales=scales, min_ch=64,
+    )(variables, *args)
+    for k in out_f:
+        d_mid = np.abs(np.asarray(out_f[k]) - np.asarray(out_m[k])).max()
+        d_vs_all = np.abs(np.asarray(out_q[k]) - np.asarray(out_m[k])).max()
+        # engaged (differs from float) but a genuinely different subset
+        # (differs from the quantize-everything output) within int8 error
+        assert 0.0 < d_mid < 0.05 and d_vs_all > 0.0, (k, d_mid, d_vs_all)
+
 
 def test_int8_train_fake_quant_gradients():
     """QAT mode "int8_train": fake-quant forward tracks the real-int8 forward,
