@@ -7,6 +7,15 @@ CPU peak finding -> PnP prior for the next frame, all at batch 1
 (PnP prior -> prior rendering -> Siamese forward -> on-device peak decode ->
 inverse affine -> per-class selection) as one `lax.scan` on device.
 
+Output contract (round-4 restructure — BENCH_r03 was rc=124 because all
+extras compiled BEFORE anything printed): the primary metric is measured
+FIRST and the single stdout JSON line is printed + flushed the moment it
+exists. Extras (fast path; with --full also batched/fused/int8) run AFTER
+under an explicit wall-clock budget (BENCH_BUDGET_S, default 540 s measured
+from process start) and are reported on stderr only — stdout always carries
+exactly one JSON line, even if an extra is skipped or the process is killed
+mid-extra.
+
 Measurement notes: on this TPU tunnel, `block_until_ready` does not actually
 block, so timing must force a host fetch (np.asarray) — the scan over T
 frames runs in ONE device call and is fetched ONCE, which also amortizes the
@@ -22,12 +31,11 @@ rate (30 fps) is also reported for context.
 
 import argparse
 import json
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_T_START = time.perf_counter()
 
 
 def main():
@@ -35,10 +43,15 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="primary metric only (skip all extras)")
     ap.add_argument("--full", action="store_true",
-                    help="also measure batched-8-videos and fused-attention "
-                         "(adds two heavy compiles; full matrix recorded in "
+                    help="also measure batched-8-videos, fused-attention and "
+                         "int8 (heavy compiles; full matrix recorded in "
                          "docs/PERF.md)")
     args = ap.parse_args()
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+    def remaining():
+        return budget_s - (time.perf_counter() - _T_START)
 
     # The axon tunnel can be DOWN for hours, and jax.devices() then hangs
     # indefinitely inside backend init — probe it in a bounded subprocess so
@@ -68,6 +81,21 @@ def main():
         except NameError:  # TimeoutExpired path: no probe object
             pass
         sys.exit(1)
+
+    import jax
+
+    # persistent XLA compile cache (same dir the test suite uses): the heavy
+    # detector-scan compile is paid once per container; later runs — e.g. the
+    # driver's end-of-round capture after an in-round run — start warm and
+    # emit the primary metric in ~1 min instead of ~12.
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".cache", "jax")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
@@ -112,81 +140,12 @@ def main():
             #                                   lies through the tunnel)
         return frames / ((time.perf_counter() - t0) / reps)
 
+    # ---- PRIMARY METRIC: measure, print, flush — before anything else ----
     run = det_lib.make_video_detector(
         apply, variables, cfg, synthetic.camera_K(),
         raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
     )
     fps = timed_fps(run, video, T)
-
-    import dataclasses
-
-    extras = {}
-    if not args.quick:
-        # feature-cache + warm-start-PnP fast paths combined
-        # (infer/detector.py; docs/PERF.md documents both deviations)
-        fast_cfg = dataclasses.replace(
-            cfg, infer=dataclasses.replace(cfg.infer, pnp_warm_start=True)
-        )
-        cached = det_lib.make_cached_video_detector(
-            model, variables, fast_cfg, synthetic.camera_K(),
-            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
-        )
-        extras["fps_fast_path"] = round(timed_fps(cached, video, T, reps=2), 2)
-
-        # int8 serving path: quantizable convs run s8xs8->s32 on the MXU with
-        # CALIBRATED static activation scales (models/layers.py — dynamic
-        # per-tensor scales measured slower than bf16; docs/PERF.md)
-        try:
-            from sgtapose_tpu.eval.synthetic_eval import calibration_inputs
-            from sgtapose_tpu.models import layers as qlayers
-
-            fp_apply = make_bf16_apply(model)
-            scales = qlayers.calibrate(
-                lambda *a: fp_apply(variables, *a),
-                calibration_inputs(cfg, n_frames=2),
-            )
-            qrun = det_lib.make_video_detector(
-                make_bf16_apply(model, quant="int8", quant_scales=scales),
-                variables, cfg, synthetic.camera_K(),
-                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
-            )
-            extras["fps_int8"] = round(timed_fps(qrun, video, T, reps=2), 2)
-        except Exception as e:  # int8 conv may not lower on every backend
-            extras["fps_int8"] = None
-            print(f"int8 bench failed: {e}", file=sys.stderr)
-
-    if args.full and not args.quick:  # --quick wins: primary metric only
-        # batched multi-video (production fill; videos are independent)
-        NV = 8
-        batched_video = det_lib.VideoFrames(
-            images=jnp.broadcast_to(video.images, (NV,) + video.images.shape),
-            x3d=jnp.broadcast_to(video.x3d, (NV,) + video.x3d.shape),
-        )
-        brun = det_lib.make_batched_video_detector(
-            apply, variables, cfg, synthetic.camera_K(),
-            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
-        )
-        extras["fps_batched_8videos_aggregate"] = round(
-            timed_fps(brun, batched_video, T * NV, reps=2), 2
-        )
-
-        # Pallas fused biased attention (ops/attention_kernel.py)
-        fcfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, fused_attention=True)
-        )
-        fmodel = create_model(fcfg.model)
-
-        fapply = make_bf16_apply(fmodel)
-
-        try:
-            frun = det_lib.make_video_detector(
-                fapply, variables, fcfg, synthetic.camera_K(),
-                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
-            )
-            extras["fps_fused_attention"] = round(timed_fps(frun, video, T, reps=2), 2)
-        except Exception as e:  # kernel may not lower on every backend
-            extras["fps_fused_attention"] = None
-            print(f"fused-attention bench failed: {e}", file=sys.stderr)
 
     REFERENCE_CPU_FPS = 0.306  # scripts/bench_reference.py, this container
     print(
@@ -197,10 +156,112 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
                 "vs_camera_rate_30fps": round(fps / 30.0, 3),
-                **extras,
             }
-        )
+        ),
+        flush=True,
     )
+    if args.quick:
+        return
+
+    # ---- EXTRAS: stderr only, each gated on the remaining budget ----------
+    import dataclasses
+
+    extras = {}
+
+    def budget_ok(name, need_s):
+        if remaining() < need_s:
+            print(
+                f"bench.py: skipping extra '{name}' — {remaining():.0f}s "
+                f"left of {budget_s:.0f}s budget (needs ~{need_s:.0f}s); "
+                "run with a larger BENCH_BUDGET_S to include it.",
+                file=sys.stderr,
+            )
+            return False
+        return True
+
+    # feature-cache + warm-start-PnP fast paths combined
+    # (infer/detector.py; docs/PERF.md documents both deviations)
+    if budget_ok("fps_fast_path", 150):
+        try:
+            fast_cfg = dataclasses.replace(
+                cfg, infer=dataclasses.replace(cfg.infer, pnp_warm_start=True)
+            )
+            cached = det_lib.make_cached_video_detector(
+                model, variables, fast_cfg, synthetic.camera_K(),
+                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+            )
+            extras["fps_fast_path"] = round(
+                timed_fps(cached, video, T, reps=2), 2)
+        except Exception as e:
+            extras["fps_fast_path"] = None
+            print(f"fast-path bench failed: {e}", file=sys.stderr)
+
+    if args.full:
+        # batched multi-video (production fill; videos are independent)
+        if budget_ok("fps_batched_8videos_aggregate", 200):
+            try:
+                NV = 8
+                batched_video = det_lib.VideoFrames(
+                    images=jnp.broadcast_to(
+                        video.images, (NV,) + video.images.shape),
+                    x3d=jnp.broadcast_to(video.x3d, (NV,) + video.x3d.shape),
+                )
+                brun = det_lib.make_batched_video_detector(
+                    apply, variables, cfg, synthetic.camera_K(),
+                    raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+                )
+                extras["fps_batched_8videos_aggregate"] = round(
+                    timed_fps(brun, batched_video, T * NV, reps=2), 2
+                )
+            except Exception as e:
+                extras["fps_batched_8videos_aggregate"] = None
+                print(f"batched bench failed: {e}", file=sys.stderr)
+
+        # Pallas fused biased attention (ops/attention_kernel.py)
+        if budget_ok("fps_fused_attention", 260):
+            try:
+                fcfg = dataclasses.replace(
+                    cfg,
+                    model=dataclasses.replace(cfg.model, fused_attention=True),
+                )
+                fmodel = create_model(fcfg.model)
+                fapply = make_bf16_apply(fmodel)
+                frun = det_lib.make_video_detector(
+                    fapply, variables, fcfg, synthetic.camera_K(),
+                    raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+                )
+                extras["fps_fused_attention"] = round(
+                    timed_fps(frun, video, T, reps=2), 2)
+            except Exception as e:  # kernel may not lower on every backend
+                extras["fps_fused_attention"] = None
+                print(f"fused-attention bench failed: {e}", file=sys.stderr)
+
+        # int8 serving path (calibrated static scales, models/layers.py) —
+        # measured slower than bf16 on this chip (docs/PERF.md int8 decision
+        # table), so it is a --full-only extra, not a default one.
+        if budget_ok("fps_int8", 260):
+            try:
+                from sgtapose_tpu.eval.synthetic_eval import calibration_inputs
+                from sgtapose_tpu.models import layers as qlayers
+
+                fp_apply = make_bf16_apply(model)
+                scales = qlayers.calibrate(
+                    lambda *a: fp_apply(variables, *a),
+                    calibration_inputs(cfg, n_frames=2),
+                )
+                qrun = det_lib.make_video_detector(
+                    make_bf16_apply(model, quant="int8", quant_scales=scales),
+                    variables, cfg, synthetic.camera_K(),
+                    raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+                )
+                extras["fps_int8"] = round(
+                    timed_fps(qrun, video, T, reps=2), 2)
+            except Exception as e:  # int8 conv may not lower everywhere
+                extras["fps_int8"] = None
+                print(f"int8 bench failed: {e}", file=sys.stderr)
+
+    if extras:
+        print("bench.py extras: " + json.dumps(extras), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,30 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+def _probe_backend():
+    """Bounded-subprocess backend probe (same rationale as bench.py: the axon
+    tunnel can be down for hours and jax backend init then hangs forever)."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=180, capture_output=True,
+        )
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(
+            "sweep_int8.py: no usable JAX backend (device init failed or "
+            "timed out — TPU tunnel down?); exiting before in-process import.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+_probe_backend()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +59,9 @@ def main():
     ap.add_argument("--dynamic", action="store_true",
                     help="also time the uncalibrated per-tensor-scale mode")
     args = ap.parse_args()
+    # synthetic raws come in pairs; round T down to even and use that value
+    # everywhere (frame construction AND the fps denominator)
+    args.frames = max(2, 2 * (args.frames // 2))
 
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
@@ -85,12 +112,18 @@ def main():
     rows = []
 
     def run_row(label, apply_fn):
-        runner = det_lib.make_video_detector(
-            apply_fn, variables, cfg, synthetic.camera_K(),
-            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
-        )
-        fps = timed_fps(runner)
-        rows.append({"config": label, "fps": round(fps, 2)})
+        # guarded like bench.py's int8 path: a lowering failure on one gate
+        # must not lose the whole sweep's final summary
+        try:
+            runner = det_lib.make_video_detector(
+                apply_fn, variables, cfg, synthetic.camera_K(),
+                raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+            )
+            fps = round(timed_fps(runner), 2)
+        except Exception as e:
+            print(f"row '{label}' failed: {e}", file=sys.stderr)
+            fps = None
+        rows.append({"config": label, "fps": fps})
         print(json.dumps(rows[-1]), flush=True)
 
     run_row("bf16", fp_apply)
@@ -105,7 +138,9 @@ def main():
 
     base = rows[0]["fps"]
     for r in rows:
-        r["vs_bf16"] = round(r["fps"] / base, 3)
+        r["vs_bf16"] = (
+            round(r["fps"] / base, 3) if base and r["fps"] else None
+        )
     print(json.dumps({"sweep": rows}))
 
 
