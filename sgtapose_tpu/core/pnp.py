@@ -12,7 +12,8 @@ Design (TPU-first):
   * static shapes everywhere — variable valid-keypoint counts are handled by
     zero weights, not row filtering (the reference filters rows,
     analysis.py:801-805)
-  * init by masked DLT on normalized coordinates + SO(3) projection, then
+  * init by masked EPnP (same algorithm as the reference's cv2 init stage;
+    masked DLT + a canonical pose remain as gated fallbacks), then
     Levenberg-Marquardt on the reprojection residual inside lax.while_loop
   * the refine stage's Jacobian comes from jax.jacfwd of the closed-form
     residual — exact, and replaces ~60 lines of sympy-generated expressions
@@ -126,6 +127,197 @@ def dlt_init(
 
 
 # -----------------------------------------------------------------------------
+# EPnP initialization (the reference's cv2.SOLVEPNP_EPNP init,
+# geometric_vision.py:88-96). Static-shape, masked, f32.
+# -----------------------------------------------------------------------------
+
+_EPNP_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _epnp_control_points(x3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """4 control points: weighted centroid + the 3 PCA axes scaled by their
+    std-devs (cv2 epnp choose_control_points). Near-planar clouds get the
+    weakest axis floored so the barycentric basis stays invertible; the
+    multi-init fallback in solve_pnp covers truly degenerate cases."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    c0 = jnp.sum(x3d * w[:, None], axis=0) / wsum
+    d = (x3d - c0) * jnp.sqrt(w)[:, None]
+    cov = jnp.matmul(d.T, d, precision="highest") / wsum
+    vals, vecs = jnp.linalg.eigh(cov)  # ascending
+    floor = jnp.maximum(vals[2], 1e-8) * 1e-6 + 1e-12
+    scale = jnp.sqrt(jnp.maximum(vals, floor))
+    # descending order like cv2 (largest axis first); row k = control point k+1
+    cs = c0[None, :] + (scale[::-1, None] * vecs.T[::-1])
+    return jnp.concatenate([c0[None, :], cs], axis=0)  # (4,3)
+
+
+def _epnp_barycentric(x3d: jnp.ndarray, cw: jnp.ndarray) -> jnp.ndarray:
+    """alphas (N,4): p_i = sum_j alpha_ij c_j, sum_j alpha_ij = 1."""
+    CC = (cw[1:4] - cw[0]).T  # (3,3), columns are c_j - c_0
+    a123 = jnp.linalg.solve(
+        CC[None].repeat(x3d.shape[0], 0), (x3d - cw[0])[:, :, None]
+    )[:, :, 0]
+    a0 = 1.0 - jnp.sum(a123, axis=1, keepdims=True)
+    return jnp.concatenate([a0, a123], axis=1)
+
+
+def _epnp_nullspace(
+    alphas: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray
+) -> jnp.ndarray:
+    """The 4 smallest-eigenvalue vectors of M^T M, as (4, 4, 3): v[k][j] is
+    candidate camera-frame control point j from nullspace vector k (k=0 is
+    the smallest eigenvalue — cv2's v[0])."""
+    fu, fv = K[0, 0], K[1, 1]
+    uc, vc = K[0, 2], K[1, 2]
+    n = x2d.shape[0]
+    a = alphas  # (N,4)
+    zero = jnp.zeros((n, 4), jnp.float32)
+    du = (uc - x2d[:, 0])[:, None] * a  # (N,4)
+    dv = (vc - x2d[:, 1])[:, None] * a
+    # rows interleave (x-part, 0, z-part) per control point j
+    rows_u = jnp.stack([a * fu, zero, du], axis=2).reshape(n, 12)
+    rows_v = jnp.stack([zero, a * fv, dv], axis=2).reshape(n, 12)
+    M = jnp.concatenate([rows_u, rows_v], axis=0)
+    M = M * jnp.concatenate([w, w])[:, None]
+    MtM = jnp.matmul(M.T, M, precision="highest")
+    _, vecs = jnp.linalg.eigh(MtM)
+    return vecs[:, :4].T.reshape(4, 4, 3)
+
+
+def _epnp_L_rho(v: jnp.ndarray, cw: jnp.ndarray):
+    """L (6,10) and rho (6,) of the beta constraint ||c_i - c_j||_cam^2 =
+    ||c_i - c_j||_world^2 (cv2 epnp compute_L_6x10 / compute_rho).
+    Beta-product order: [b0b0, b0b1, b1b1, b0b2, b1b2, b2b2,
+                         b0b3, b1b3, b2b3, b3b3]."""
+    dv = jnp.stack(
+        [jnp.stack([v[k, i] - v[k, j] for (i, j) in _EPNP_PAIRS]) for k in range(4)]
+    )  # (4,6,3)
+    dot = lambda a, b: jnp.sum(dv[a] * dv[b], axis=1)  # (6,)
+    L = jnp.stack(
+        [
+            dot(0, 0), 2 * dot(0, 1), dot(1, 1), 2 * dot(0, 2), 2 * dot(1, 2),
+            dot(2, 2), 2 * dot(0, 3), 2 * dot(1, 3), 2 * dot(2, 3), dot(3, 3),
+        ],
+        axis=1,
+    )  # (6,10)
+    rho = jnp.stack([jnp.sum((cw[i] - cw[j]) ** 2) for (i, j) in _EPNP_PAIRS])
+    return L, rho
+
+
+def _lsq(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    AtA = jnp.matmul(A.T, A, precision="highest")
+    AtA = AtA + 1e-9 * jnp.eye(A.shape[1], dtype=A.dtype)
+    return jnp.linalg.solve(AtA, jnp.matmul(A.T, b, precision="highest"))
+
+
+def _betas_approx(L: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """The three cv2 epnp beta initializations, stacked (3,4)."""
+    eps = 1e-8
+    # case 1: unknowns [b0b0, b0b1, b0b2, b0b3]
+    x = _lsq(L[:, jnp.array([0, 1, 3, 6])], rho)
+    s = jnp.where(x[0] < 0, -1.0, 1.0)
+    b0 = jnp.sqrt(jnp.abs(x[0]))
+    b1 = jnp.stack([b0, s * x[1] / jnp.maximum(b0, eps),
+                    s * x[2] / jnp.maximum(b0, eps),
+                    s * x[3] / jnp.maximum(b0, eps)])
+
+    # case 2: unknowns [b0b0, b0b1, b1b1]
+    x = _lsq(L[:, jnp.array([0, 1, 2])], rho)
+    b0 = jnp.sqrt(jnp.abs(x[0]))
+    bb1 = jnp.where(jnp.sign(x[2]) == jnp.sign(x[0]),
+                    jnp.sqrt(jnp.abs(x[2])), 0.0)
+    b0 = jnp.where(x[1] < 0, -b0, b0)
+    b2 = jnp.stack([b0, bb1, jnp.zeros(()), jnp.zeros(())])
+
+    # case 3: unknowns [b0b0, b0b1, b1b1, b0b2, b1b2]
+    x = _lsq(L[:, jnp.array([0, 1, 2, 3, 4])], rho)
+    b0 = jnp.sqrt(jnp.abs(x[0]))
+    bb1 = jnp.where(jnp.sign(x[2]) == jnp.sign(x[0]),
+                    jnp.sqrt(jnp.abs(x[2])), 0.0)
+    b0 = jnp.where(x[1] < 0, -b0, b0)
+    bb2 = x[3] / jnp.where(jnp.abs(b0) < eps, jnp.inf, b0)
+    b3 = jnp.stack([b0, bb1, bb2, jnp.zeros(())])
+    return jnp.stack([b1, b2, b3])
+
+
+def _betas_gn(L: jnp.ndarray, rho: jnp.ndarray, betas: jnp.ndarray,
+              iters: int = 5) -> jnp.ndarray:
+    """cv2 epnp gauss_newton: 5 fixed iterations on the 6 distance residuals
+    over the 4 betas."""
+
+    def b10(b):
+        return jnp.stack([
+            b[0] * b[0], b[0] * b[1], b[1] * b[1], b[0] * b[2], b[1] * b[2],
+            b[2] * b[2], b[0] * b[3], b[1] * b[3], b[2] * b[3], b[3] * b[3],
+        ])
+
+    res = lambda b: jnp.matmul(L, b10(b), precision="highest") - rho
+    jac = jax.jacfwd(res)
+
+    def body(_, b):
+        r = res(b)
+        J = jac(b)
+        return b - _lsq(J, r)
+
+    return jax.lax.fori_loop(0, iters, body, betas)
+
+
+def _epnp_pose(
+    betas: jnp.ndarray, v: jnp.ndarray, alphas: jnp.ndarray,
+    x3d: jnp.ndarray, w: jnp.ndarray,
+):
+    """(R, t) from one beta candidate: camera-frame control points, point
+    cloud, sign fix, then weighted Horn alignment (cv2 estimate_R_and_t)."""
+    ccs = jnp.einsum("k,kjc->jc", betas, v)  # (4,3)
+    pcs = jnp.matmul(alphas, ccs, precision="highest")  # (N,3)
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    sgn = jnp.where(jnp.sum(pcs[:, 2] * w) < 0, -1.0, 1.0)
+    pcs = pcs * sgn
+    pc0 = jnp.sum(pcs * w[:, None], axis=0) / wsum
+    pw0 = jnp.sum(x3d * w[:, None], axis=0) / wsum
+    ABt = jnp.matmul(
+        ((pcs - pc0) * w[:, None]).T, x3d - pw0, precision="highest"
+    )
+    U, _, Vt = jnp.linalg.svd(ABt)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision="highest"))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
+    R = jnp.matmul(jnp.matmul(U, D, precision="highest"), Vt,
+                   precision="highest")
+    t = pc0 - jnp.matmul(R, pw0, precision="highest")
+    return R, t
+
+
+def epnp_init(
+    x3d: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray, weights: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked EPnP (Lepetit et al.) estimate of (R, t) — the same algorithm
+    cv2.solvePnP runs for the reference's init stage
+    (ref geometric_vision.py:88-96, flags=SOLVEPNP_EPNP). All three beta
+    cases are Gauss-Newton-refined and the lowest-reprojection candidate
+    wins, matching cv2's case selection. Row masking via `weights` replaces
+    the reference's NaN row filtering (static shapes)."""
+    cw = _epnp_control_points(x3d, weights)
+    alphas = _epnp_barycentric(x3d, cw)
+    v = _epnp_nullspace(alphas, x2d, K, weights)
+    L, rho = _epnp_L_rho(v, cw)
+    betas0 = _betas_approx(L, rho)
+
+    def solve_case(b0):
+        b = _betas_gn(L, rho, b0)
+        R, t = _epnp_pose(b, v, alphas, x3d, weights)
+        proj = geometry.project_points(x3d, R, t, K)
+        err = jnp.sum(
+            jnp.linalg.norm(proj - x2d, axis=1) * weights
+        ) / jnp.maximum(jnp.sum(weights), 1e-8)
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+        return R, t, err
+
+    Rs, ts, errs = jax.vmap(solve_case)(betas0)
+    best = jnp.argmin(errs)
+    return Rs[best], ts[best]
+
+
+# -----------------------------------------------------------------------------
 # Reprojection LM refinement (replaces SOLVEPNP_ITERATIVE)
 # -----------------------------------------------------------------------------
 
@@ -197,8 +389,9 @@ def solve_pnp(
     refine_iters: int = 30,
     init: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> PnPResult:
-    """Full PnP: masked DLT init + LM refine. Static-shape equivalent of
-    ref solve_pnp (geometric_vision.py:43-116). `valid` masks bad rows
+    """Full PnP: masked EPnP init + LM refine — the same two-stage scheme as
+    ref solve_pnp (geometric_vision.py:43-116, SOLVEPNP_EPNP then
+    SOLVEPNP_ITERATIVE), static-shape. `valid` masks bad rows
     (NaN filtering in the reference) with weight 0.
 
     init: optional (quat0, trans0, use_init) warm start — when use_init is
@@ -220,7 +413,7 @@ def solve_pnp(
     x2d = jnp.where(valid[:, None], x2d, 0.0)
 
     def fresh_init(_):
-        R0, t0 = dlt_init(x3d, x2d, K, w)
+        R0, t0 = epnp_init(x3d, x2d, K, w)
         return geometry.matrix_to_quat(R0), t0
 
     if init is None:
@@ -243,14 +436,14 @@ def solve_pnp(
             n_valid, 1.0
         )
 
-    # Multi-init LM, best-of by masked reprojection error: the DLT init can
-    # land in a wrong basin on noisy / near-degenerate configurations where
-    # cv2's EPnP init (ref geometric_vision.py:88-96) does not. When the DLT
-    # result is not already converged (mean reprojection above a few px), a
-    # second LM runs from a canonical front-facing pose (object centroid
-    # pushed in front of the camera) and the better optimum wins — removing
-    # most bad-basin events while the lax.cond keeps converged solves (the
-    # common case on eval-only PnP loops) at single-refine cost.
+    # Primary init is EPnP — the reference's own init stage (cv2
+    # SOLVEPNP_EPNP, geometric_vision.py:88-96) — so LM starts in the same
+    # basin cv2's ITERATIVE refine does. If that does not converge (mean
+    # reprojection above a few px: near-degenerate geometry, wild outliers),
+    # a fallback branch runs LM from the masked-DLT init and from a canonical
+    # front-facing pose (object centroid pushed in front of the camera) and
+    # the best optimum wins; the lax.cond keeps converged solves (the common
+    # case) at single-refine cost.
     q_a, t_a = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
     err_a = masked_reproj_err(q_a, t_a)
     err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
@@ -259,15 +452,27 @@ def solve_pnp(
     q_c = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
     t_c = jnp.array([0.0, 0.0, 2.0], jnp.float32) - centroid
 
-    def second_candidate(_):
-        q_b, t_b = refine_pose_lm(x3d, x2d, K, w, q_c, t_c,
+    def fallback_candidates(_):
+        R_d, t_d = dlt_init(x3d, x2d, K, w)
+        q_b, t_b = refine_pose_lm(x3d, x2d, K, w,
+                                  geometry.matrix_to_quat(R_d), t_d,
                                   max_iters=refine_iters)
         err_b = masked_reproj_err(q_b, t_b)
-        return q_b, t_b, jnp.where(jnp.isfinite(err_b), err_b, jnp.inf)
+        q_e, t_e = refine_pose_lm(x3d, x2d, K, w, q_c, t_c,
+                                  max_iters=refine_iters)
+        err_e = masked_reproj_err(q_e, t_e)
+        err_b = jnp.where(jnp.isfinite(err_b), err_b, jnp.inf)
+        err_e = jnp.where(jnp.isfinite(err_e), err_e, jnp.inf)
+        use_b = err_b <= err_e
+        return (
+            jnp.where(use_b, q_b, q_e),
+            jnp.where(use_b, t_b, t_e),
+            jnp.minimum(err_b, err_e),
+        )
 
     q_b, t_b, err_b = jax.lax.cond(
         err_a > 3.0,  # px mean; bad basins sit at tens-hundreds of px
-        second_candidate,
+        fallback_candidates,
         lambda _: (q_a, t_a, jnp.full((), jnp.inf, err_a.dtype)),
         operand=None,
     )
