@@ -76,6 +76,18 @@ def parse_args(argv=None):
                         "PlanA_three | PlanA | PlanACAT | ablation_* | "
                         "CenterTrack | CenterNet | Dream")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--init_backbone", default=None,
+                   help="ImageNet DLA-34 .pth (bare state_dict) to initialize "
+                        "the trunk from — the reference's training-of-record "
+                        "init (ref dla.py:339-363 load_pretrained_model)")
+    p.add_argument("--init_backbone_stem", action="store_true",
+                   help="also copy the ImageNet base_layer into the active "
+                        "pre_img stem (deviation; see convert_imagenet_dla34)")
+    p.add_argument("--lr_step", default=None,
+                   help="comma-separated epoch milestones for 0.1x step decay "
+                        "instead of warmup+poly (ref lib/opts_parallel.py "
+                        "--lr_step; resume replays the decay, ref "
+                        "lib/model/model.py:87-99)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--image_log_every", type=int, default=250,
                    help="training mosaic (input | GT hm | pred hm) interval "
@@ -172,7 +184,31 @@ def main(argv=None):
     max_iters = max(iters_per_epoch * cfg.train.num_epochs, 1)
 
     rng = jax.random.PRNGKey(args.seed)
-    state = trainer.create_train_state_for_phase(cfg, rng, args.phase, max_iters=max_iters)
+    schedule = None
+    if args.lr_step:
+        from sgtapose_tpu.train.schedule import step_decay_schedule
+
+        schedule = step_decay_schedule(
+            cfg.train.lr,
+            [int(e) for e in args.lr_step.split(",")],
+            iters_per_epoch,
+        )
+    state = trainer.create_train_state_for_phase(
+        cfg, rng, args.phase, max_iters=max_iters, schedule=schedule
+    )
+    if args.init_backbone:
+        from sgtapose_tpu.utils.torch_convert import (
+            convert_imagenet_dla34, load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.init_backbone)
+        new_p, new_s, report = convert_imagenet_dla34(
+            sd, state.params, state.batch_stats,
+            map_stem=args.init_backbone_stem,
+        )
+        state = state.replace(params=new_p, batch_stats=new_s)
+        print(f"ImageNet trunk init from {args.init_backbone}: "
+              f"{report['n_converted']} tensors")
     if args.resume:
         state = trainer.load_checkpoint(os.path.abspath(args.resume), state)
         print(f"resumed from {args.resume} at step {int(state.step)}")

@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--init_ckpt", default=None,
                    help="warm-start params/batch_stats from a checkpoint "
                         "(fresh optimizer + schedule — fine-tune mode)")
+    p.add_argument("--init_backbone", default=None,
+                   help="ImageNet DLA-34 .pth (bare state_dict) to initialize "
+                        "the trunk from (ref dla.py:339-363 "
+                        "load_pretrained_model)")
+    p.add_argument("--init_backbone_stem", action="store_true",
+                   help="also copy the ImageNet base_layer into the active "
+                        "pre_img stem (deviation; see convert_imagenet_dla34)")
     p.add_argument("--reg_weight", type=float, default=0.01,
                    help="sub-pixel offset loss weight (reference default "
                         "0.01; raise to sharpen decode precision)")
@@ -80,6 +87,19 @@ def main(argv=None):
         donor = trainer.load_checkpoint(os.path.abspath(args.init_ckpt), state)
         state = state.replace(params=donor.params, batch_stats=donor.batch_stats)
         print(f"warm-started params from {args.init_ckpt}")
+    if args.init_backbone:
+        from sgtapose_tpu.utils.torch_convert import (
+            convert_imagenet_dla34, load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.init_backbone)
+        new_p, new_s, report = convert_imagenet_dla34(
+            sd, state.params, state.batch_stats,
+            map_stem=args.init_backbone_stem,
+        )
+        state = state.replace(params=new_p, batch_stats=new_s)
+        print(f"ImageNet trunk init from {args.init_backbone}: "
+              f"{report['n_converted']} tensors")
     batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
     raw_fn = jax.jit(functools.partial(synthetic.make_raw_batch, batch_size=args.batch))
     step = functools.partial(

@@ -35,3 +35,29 @@ def warmup_poly_schedule(
         return jnp.where(step <= warmup_iters, warm, poly)
 
     return schedule
+
+
+def step_decay_schedule(
+    base_lr: float,
+    lr_step_epochs,
+    iters_per_epoch: int,
+    gamma: float = 0.1,
+):
+    """CenterTrack-style epoch step decay: lr = base * gamma^(#milestones
+    passed). The reference applies this both at the epoch boundary and when
+    RESUMING a run (ref lib/model/model.py:87-99 re-derives start_lr as
+    `opt.lr * 0.1` per lr_step <= start_epoch; flag at lib/opts_parallel.py
+    --lr_step). Here the schedule is a pure function of the optimizer step,
+    so a resumed TrainState (which carries its step) replays the decay
+    automatically — same semantics, no stateful restore needed.
+    """
+    milestones = sorted(int(e) for e in lr_step_epochs)
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) / max(iters_per_epoch, 1)
+        n = jnp.zeros((), jnp.float32)
+        for m in milestones:
+            n = n + (epoch >= m).astype(jnp.float32)
+        return base_lr * gamma ** n
+
+    return schedule

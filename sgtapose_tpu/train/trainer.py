@@ -75,16 +75,19 @@ def example_batch(cfg: Config, batch_size: int = 1) -> Dict[str, jnp.ndarray]:
 
 
 def create_train_state_for_phase(
-    cfg: Config, rng: jax.Array, phase: str, max_iters: int = 100000
+    cfg: Config, rng: jax.Array, phase: str, max_iters: int = 100000,
+    schedule=None,
 ) -> TrainState:
     from sgtapose_tpu.train.phases import model_inputs
 
     model = create_model(cfg.model)
     batch = example_batch(cfg)
     variables = model.init(rng, *model_inputs(phase, batch), train=False)
-    schedule = warmup_poly_schedule(
-        cfg.train.lr, max_iters, cfg.train.warmup_iters, power=cfg.train.poly_power
-    )
+    if schedule is None:
+        schedule = warmup_poly_schedule(
+            cfg.train.lr, max_iters, cfg.train.warmup_iters,
+            power=cfg.train.poly_power,
+        )
     tx = optax.adam(schedule)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())

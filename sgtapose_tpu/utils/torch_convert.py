@@ -67,6 +67,37 @@ def _basic_block(ref: str):
     }
 
 
+def _add_leaf_tree(m, our: str, ref: str, has_project: bool):
+    """Map one levels-1 subtree: blocks + root + optional project."""
+    for sub, (rname, tf) in _basic_block(f"{ref}.tree1").items():
+        m[f"{our}/tree1/{sub}"] = (rname, tf)
+    for sub, (rname, tf) in _basic_block(f"{ref}.tree2").items():
+        m[f"{our}/tree2/{sub}"] = (rname, tf)
+    m[f"{our}/root/Conv_0/kernel"] = (f"{ref}.root.conv.weight", _conv)
+    m[f"{our}/root/BatchNorm_0"] = (f"{ref}.root.bn", None)
+    if has_project:
+        m[f"{our}/project_conv/kernel"] = (f"{ref}.project.0.weight", _conv)
+        m[f"{our}/project_bn"] = (f"{ref}.project.1", None)
+
+
+def _add_dla_trunk(m, our_base: str, ref_base: str):
+    """One DLA-34 trunk: conv levels 0-1 + trees 2-5. ref_base='' maps a BARE
+    state_dict (the ImageNet dla34 release format, keys level0.0.weight...)."""
+    pre = ref_base + "." if ref_base else ""
+    for lvl in (0, 1):
+        m[f"{our_base}/level{lvl}/Conv_0/kernel"] = (
+            f"{pre}level{lvl}.0.weight", _conv)
+        m[f"{our_base}/level{lvl}/BatchNorm_0"] = (
+            f"{pre}level{lvl}.1", None)
+    _add_leaf_tree(m, f"{our_base}/level2", f"{pre}level2", True)
+    _add_leaf_tree(m, f"{our_base}/level5", f"{pre}level5", True)
+    for lvl in (3, 4):
+        _add_leaf_tree(m, f"{our_base}/level{lvl}/tree1",
+                       f"{pre}level{lvl}.tree1", True)
+        _add_leaf_tree(m, f"{our_base}/level{lvl}/tree2",
+                       f"{pre}level{lvl}.tree2", False)
+
+
 def _flag_map(
     dla_node: str = "dcn", arch: str = "dlapawdl3new"
 ) -> Dict[str, Tuple[str, Optional[callable]]]:
@@ -93,46 +124,18 @@ def _flag_map(
     m: Dict[str, Tuple[str, Optional[callable]]] = {}
     dec = "" if arch == "dlapawdl3new" else "decoder/"
 
-    # trees. our tree path -> ref tree path for each levels-1 subtree with
-    # blocks + root + optional project
-    def add_leaf_tree(our: str, ref: str, has_project: bool):
-        for sub, (rname, tf) in _basic_block(f"{ref}.tree1").items():
-            m[f"{our}/tree1/{sub}"] = (rname, tf)
-        for sub, (rname, tf) in _basic_block(f"{ref}.tree2").items():
-            m[f"{our}/tree2/{sub}"] = (rname, tf)
-        m[f"{our}/root/Conv_0/kernel"] = (f"{ref}.root.conv.weight", _conv)
-        m[f"{our}/root/BatchNorm_0"] = (f"{ref}.root.bn", None)
-        if has_project:
-            m[f"{our}/project_conv/kernel"] = (f"{ref}.project.0.weight", _conv)
-            m[f"{our}/project_bn"] = (f"{ref}.project.1", None)
-
-    def add_base(our_base: str, ref_base: str):
-        """One DLA-34 trunk: conv levels 0-1 + trees 2-5."""
-        for lvl in (0, 1):
-            m[f"{our_base}/level{lvl}/Conv_0/kernel"] = (
-                f"{ref_base}.level{lvl}.0.weight", _conv)
-            m[f"{our_base}/level{lvl}/BatchNorm_0"] = (
-                f"{ref_base}.level{lvl}.1", None)
-        add_leaf_tree(f"{our_base}/level2", f"{ref_base}.level2", True)
-        add_leaf_tree(f"{our_base}/level5", f"{ref_base}.level5", True)
-        for lvl in (3, 4):
-            add_leaf_tree(f"{our_base}/level{lvl}/tree1",
-                          f"{ref_base}.level{lvl}.tree1", True)
-            add_leaf_tree(f"{our_base}/level{lvl}/tree2",
-                          f"{ref_base}.level{lvl}.tree2", False)
-
     # stems (both frames route through pre_img/pre_hm layers, ref dla.py:1506)
     m["pre_img_stem/Conv_0/kernel"] = ("base.pre_img_layer.0.weight", _conv)
     m["pre_img_stem/BatchNorm_0"] = ("base.pre_img_layer.1", None)
     m["pre_hm_stem/Conv_0/kernel"] = ("base.pre_hm_layer.0.weight", _conv)
     m["pre_hm_stem/BatchNorm_0"] = ("base.pre_hm_layer.1", None)
-    add_base("base", "base")
+    _add_dla_trunk(m, "base", "base")
     if arch == "dlaabla_wo_shared":
         # separate current-frame trunk (ref dla.py:1175-1177 base1); its img
         # stem is base1's pre_img_layer (the cur pass calls base1(pre_img=x))
         m["cur_img_stem/Conv_0/kernel"] = ("base1.pre_img_layer.0.weight", _conv)
         m["cur_img_stem/BatchNorm_0"] = ("base1.pre_img_layer.1", None)
-        add_base("base1", "base1")
+        _add_dla_trunk(m, "base1", "base1")
 
     # decoder ida modules
     def add_deform(our: str, ref: str):
@@ -327,6 +330,52 @@ def convert_state_dict(
 
     return _convert_with_mapping(
         sd, mapping, params, batch_stats, bgr_paths, strict, unused_filter
+    )
+
+
+def convert_imagenet_dla34(
+    state_dict: Dict[str, np.ndarray],
+    params,
+    batch_stats,
+    map_stem: bool = False,
+    strict: bool = True,
+):
+    """Ingest a BARE ImageNet DLA-34 state_dict (the dla34-ba72cf86.pth
+    release format: base_layer.*, level0..level5.*, fc.*) into our `base/`
+    trunk, leaving every other module at its fresh init.
+
+    This is the reference's training-of-record initialization: dla34(
+    pretrained=True) -> load_pretrained_model loads the ImageNet weights with
+    strict=False (ref lib/model/networks/dla.py:339-363), which initializes
+    level0-5 (live) and base_layer (DEAD for the l3new forward — both frame
+    passes route through pre_img_layer, ref dla.py:1506-1507, so the
+    reference's pre_img stem stays randomly initialized). map_stem=True goes
+    one step further than the reference and also copies base_layer into our
+    active pre_img_stem (documented deviation — the ImageNet stem is a
+    strictly better prior for an image stem than random init).
+
+    ImageNet DLA weights are RGB-trained (standard PIL loaders), and our
+    loader feeds RGB — no channel flip.
+
+    Returns (new_params, new_batch_stats, report).
+    """
+    sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in state_dict.items()}
+    m: Dict[str, Tuple[str, Optional[callable]]] = {}
+    _add_dla_trunk(m, "base", "")
+    if map_stem:
+        m["pre_img_stem/Conv_0/kernel"] = ("base_layer.0.weight", _conv)
+        m["pre_img_stem/BatchNorm_0"] = ("base_layer.1", None)
+
+    def unused_filter(k):
+        return (
+            not k.startswith(("fc.", "base_layer."))
+            and ".project." not in k.replace("tree1.project", "")
+            and ".downsample." not in k
+            and "num_batches_tracked" not in k
+        )
+
+    return _convert_with_mapping(
+        sd, m, params, batch_stats, set(), strict, unused_filter
     )
 
 

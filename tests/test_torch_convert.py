@@ -187,3 +187,58 @@ def re_dead_projection(k: str) -> bool:
 
     return (".project." in k.replace("tree1.project", "")
             and bool(re.search(r"level[2-5]", k)))
+
+
+def test_imagenet_dla34_trunk_init(flagship_vars):
+    """convert_imagenet_dla34 ingests a REAL bare DLA-34 state_dict (built
+    from the reference DLA class with the conditioning stems disabled — the
+    exact key set of the dla34-ba72cf86.pth ImageNet release) and initializes
+    our `base/` trunk from it, leaving everything else at fresh init
+    (ref dla.py:339-363 load_pretrained_model semantics)."""
+    import ref_oracle
+    import torch
+
+    dla = ref_oracle.ref_dla_module()
+    opt = ref_oracle.make_ref_opt(pre_img=False, pre_hm=False, ct_modify=False)
+    torch.manual_seed(3)
+    ref_trunk = dla.DLA([1, 1, 1, 2, 2, 1], [16, 32, 64, 128, 256, 512],
+                        block=dla.BasicBlock, opt=opt)
+    sd = {k: v.detach().numpy() for k, v in ref_trunk.state_dict().items()}
+    assert any(k.startswith("base_layer") for k in sd)
+    assert not any(k.startswith("pre_img_layer") for k in sd)
+
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    new_p, new_s, report = tc.convert_imagenet_dla34(sd, params, stats,
+                                                     strict=True)
+    assert not report["missing"] and not report["mismatched"], report
+    assert not report["unused_ref_keys"], report["unused_ref_keys"][:10]
+    assert report["n_converted"] > 100  # the whole trunk, not a sliver
+
+    # spot-check numerics: level0 conv kernel is the transposed ref tensor
+    np.testing.assert_array_equal(
+        new_p["base"]["level0"]["Conv_0"]["kernel"],
+        tc._conv(sd["level0.0.weight"]),
+    )
+    # trunk BN stats came from the state dict
+    np.testing.assert_array_equal(
+        new_s["base"]["level1"]["BatchNorm_0"]["mean"],
+        sd["level1.1.running_mean"],
+    )
+    # stems + heads + attention stay at fresh init (reference parity:
+    # pre_img_layer is NOT ImageNet-initialized)
+    np.testing.assert_array_equal(
+        new_p["pre_img_stem"]["Conv_0"]["kernel"],
+        np.asarray(params["pre_img_stem"]["Conv_0"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        new_p["hm"]["Conv_0"]["kernel"], np.asarray(params["hm"]["Conv_0"]["kernel"])
+    )
+
+    # map_stem=True additionally copies base_layer -> pre_img_stem (RGB,
+    # no channel flip)
+    new_p2, _, _ = tc.convert_imagenet_dla34(sd, params, stats, map_stem=True)
+    np.testing.assert_array_equal(
+        new_p2["pre_img_stem"]["Conv_0"]["kernel"],
+        tc._conv(sd["base_layer.0.weight"]),
+    )
