@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--modes", default="reg,logquad,mean,avg")
     args = ap.parse_args()
 
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from sgtapose_tpu.config import Config, InferConfig, ModelConfig
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.eval.synthetic_eval import (

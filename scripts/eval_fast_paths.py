@@ -2,7 +2,7 @@
 
 Loads a train_demo checkpoint (--ckpt_out) and evaluates synthetic videos
 through four detector configurations:
-  exact        — Siamese double trunk, fresh DLT PnP init per frame (parity)
+  exact        — Siamese double trunk, fresh EPnP init per frame (parity)
   cache        — feature-cache trunk reuse (infer/detector.py)
   warm         — warm-start prior PnP from the carried pose
   cache+warm   — both
@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--seed", type=int, default=317)
     args = ap.parse_args()
 
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from sgtapose_tpu.config import Config, InferConfig, ModelConfig
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.eval.analysis import analyze_sequence_results

@@ -27,11 +27,17 @@ cd "$(dirname "$0")/.."
 if [ "$1" = "--dry-run" ]; then
   OUT=${2:-results/parity_real_dryrun}
   mkdir -p "$OUT"
+  # the dry run exercises the PIPELINE, not the chip: force CPU so it never
+  # contends with (or waits on) the TPU tunnel
+  export JAX_PLATFORMS=cpu
   echo "== dry run: synthesizing fixtures under $OUT =="
   python - "$OUT" <<'EOF'
 import sys
 
 out = sys.argv[1]
+from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()  # also pins JAX_PLATFORMS=cpu
 from sgtapose_tpu.data.synthetic import write_real_dataset
 # tiny DREAM-real-format set + split info
 write_real_dataset(f"{out}/data", set_name="panda-orb", n_videos=1, n_frames=3)
@@ -52,6 +58,8 @@ EOF
   REAL_INFO="$OUT/data/dream_real_info"
   REF_RESULTS=""
   SETS="panda-orb"
+  # keep the dry run light: tiny input res (params are res-independent)
+  EXTRA_FLAGS="--input_res 128"
 else
   MODEL=${1:?usage: parity_real.sh MODEL.pth DATA_ROOT REAL_INFO [REF_RESULTS] [OUT]}
   DATA_ROOT=${2:?DATA_ROOT missing}
@@ -59,6 +67,7 @@ else
   REF_RESULTS=${4:-}
   OUT=${5:-results/parity_real}
   SETS="panda-orb panda-3cam_azure panda-3cam_realsense"
+  EXTRA_FLAGS=""
   mkdir -p "$OUT"
 fi
 
@@ -70,13 +79,14 @@ python -m sgtapose_tpu.cli.convert \
 for SET in $SETS; do
   echo "== infer $SET =="
   python -m sgtapose_tpu.cli.infer \
-    --dataset "$DATA_ROOT/$SET" \
+    --dataset "$DATA_ROOT" \
     --is_real "$SET" \
     --split_info "$REAL_INFO/${SET}_split_info.json" \
     --ckpt "$OUT/ckpt_converted" \
     --output_dir "$OUT/$SET" \
+    --robot panda \
     --ref_sort y \
-    --rf
+    --rf $EXTRA_FLAGS
 done
 
 if [ -n "$REF_RESULTS" ]; then

@@ -63,6 +63,9 @@ def main():
     # everywhere (frame construction AND the fps denominator)
     args.frames = max(2, 2 * (args.frames // 2))
 
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from sgtapose_tpu.config import Config
     from sgtapose_tpu.data import synthetic
     from sgtapose_tpu.eval.synthetic_eval import (calibration_inputs,

@@ -70,6 +70,9 @@ def _template_state(args):
 
 
 def main(argv=None):
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = parse_args(argv)
     from sgtapose_tpu.train import trainer
     from sgtapose_tpu.utils import torch_convert as tc

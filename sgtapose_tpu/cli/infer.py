@@ -532,6 +532,9 @@ def run_depth(args, cfg: Config, model, variables):
 
 
 def main(argv=None):
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = parse_args(argv)
     num_classes = 42 if args.depth else len(KEYPOINT_NAMES[args.robot])
     from sgtapose_tpu.config import InferConfig

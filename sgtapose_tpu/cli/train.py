@@ -125,6 +125,9 @@ def build_config(args) -> Config:
 
 
 def main(argv=None):
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = parse_args(argv)
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -71,6 +71,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = parse_args(argv)
     cfg = Config(
         model=ModelConfig(

@@ -71,6 +71,21 @@ def test_schedule():
     assert float(sched(10001)) == pytest.approx(0.0, abs=1e-9)
 
 
+def test_step_decay_schedule_resume_replay():
+    """--lr_step semantics: 0.1x at each epoch milestone, and a resumed step
+    count replays the decay (ref lib/model/model.py:87-99)."""
+    from sgtapose_tpu.train.schedule import step_decay_schedule
+
+    sched = step_decay_schedule(1e-3, [10, 15], iters_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sched(999)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sched(1000)) == pytest.approx(1e-4, rel=1e-5)  # epoch 10
+    assert float(sched(1499)) == pytest.approx(1e-4, rel=1e-5)
+    assert float(sched(1500)) == pytest.approx(1e-5, rel=1e-4)  # epoch 15
+    # "resume at epoch 12" = same function of the restored step counter
+    assert float(sched(1200)) == pytest.approx(1e-4, rel=1e-5)
+
+
 @pytest.mark.slow
 def test_train_step_decreases_loss(raw_batch):
     state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
