@@ -64,6 +64,17 @@ def parse_args(argv=None):
     p.add_argument("--kernel_list", default="12,6,3,1,1,1",
                    help="per-level attention window sizes (ref ks1..ks6)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port (ref "
+                        "torch.distributed init, train.py:179). On TPU pod "
+                        "slices pass --multihost alone for auto-detection")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host run with env auto-detection "
+                        "(jax.distributed.initialize with no args)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count (with --coordinator)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank (with --coordinator)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="loader IO threads (ref train.py:251 workers)")
     p.add_argument("--depth", action="store_true",
@@ -130,13 +141,33 @@ def main(argv=None):
     enable_persistent_compile_cache()
     args = parse_args(argv)
     cfg = build_config(args)
-    os.makedirs(args.output_dir, exist_ok=True)
-    logger = MetricsLogger(args.output_dir, resume=bool(args.resume))
+
+    # multi-host: join the run BEFORE any device query (ref NCCL
+    # init_process_group, train.py:179). The mesh then spans the global
+    # device set and XLA routes gradient collectives over ICI + DCN.
+    if args.multihost or args.coordinator:
+        mesh_lib.initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    rank0 = jax.process_index() == 0
+    if rank0:
+        os.makedirs(args.output_dir, exist_ok=True)
+    # rank-0-only fs/TB writes (ref train.py:187-190)
+    logger = MetricsLogger(
+        args.output_dir if rank0 else None, resume=bool(args.resume)
+    )
 
     mesh = mesh_lib.make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     global_batch = cfg.train.batch_size_per_device * n_dev
-    print(f"devices={n_dev} global_batch={global_batch}")
+    # each process loads only ITS slice: per-device batch x local devices
+    local_batch = cfg.train.batch_size_per_device * max(
+        1, n_dev // jax.process_count()
+    )
+    print(
+        f"devices={n_dev} ({jax.process_count()} processes) "
+        f"global_batch={global_batch} local_batch={local_batch}"
+    )
 
     # dataset discovery (+ optional concat, ref train.py:193-202)
     three = args.phase == "PlanA_three"
@@ -157,7 +188,10 @@ def main(argv=None):
     pairs = discover(args.dataset)
     if args.add_dataset:
         pairs = pairs + discover(args.add_dataset)
-    print(f"train pairs: {len(pairs)}")
+    if jax.process_count() > 1:
+        # DistributedSampler equivalent: disjoint per-process slice
+        pairs = pairs[jax.process_index()::jax.process_count()]
+    print(f"train pairs: {len(pairs)} (this process)")
 
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)
     object_name = args.object_name or args.robot
@@ -171,7 +205,7 @@ def main(argv=None):
         loader_cls = TripleBatchLoader
     loader = loader_cls(
         pairs, cfg, camera_K, object_name,
-        kp_names, global_batch, seed=args.seed,
+        kp_names, local_batch, seed=args.seed,
         num_workers=args.num_workers, depth=args.depth,
     )
     val_loader = None
@@ -179,7 +213,7 @@ def main(argv=None):
         val_pairs = discover(args.val_dataset)
         val_loader = loader_cls(
             val_pairs, cfg, camera_K, object_name, kp_names,
-            global_batch, shuffle=False, num_workers=args.num_workers,
+            local_batch, shuffle=False, num_workers=args.num_workers,
             depth=args.depth,
         )
 
@@ -266,14 +300,20 @@ def main(argv=None):
                     f"epoch {epoch} it {it}/{iters_per_epoch} "
                     + " ".join(f"{k}={v:.5f}" for k, v in s.items())
                 )
-            if args.image_log_every and it % args.image_log_every == 0:
+            if (
+                args.image_log_every and it % args.image_log_every == 0
+                and jax.process_count() == 1
+            ):  # multihost: mosaic fetch needs a fully-addressable batch
                 log_mosaic(batch, int(state.step))
         # checkpoint per epoch (ref train.py:264-265)
         ckpt = os.path.abspath(os.path.join(args.output_dir, "ckpt", f"epoch_{epoch}"))
         trainer.save_checkpoint(ckpt, state)
         print(f"epoch {epoch} done in {time.time()-t0:.1f}s -> {ckpt}")
 
-        if val_loader is not None:
+        if val_loader is not None and jax.process_count() > 1:
+            print("val keypoint metrics skipped under multi-host (loss-only "
+                  "val would need a process_allgather of decoded coords)")
+        elif val_loader is not None:
             from sgtapose_tpu.decode.peaks import decode_heatmaps_batch
             from sgtapose_tpu.eval import metrics as metrics_lib
 

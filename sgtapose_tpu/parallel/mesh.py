@@ -1,4 +1,4 @@
-"""Device mesh + sharding helpers.
+"""Device mesh + sharding helpers (single- and multi-host).
 
 The reference's distributed story is torch DDP over NCCL (one process per GPU,
 gradient all-reduce in backward, SyncBatchNorm — ref train.py:176-179,
@@ -8,7 +8,14 @@ jit over a `jax.sharding.Mesh`:
   * params/batch-stats replicated
   * gradient psum inserted automatically by XLA SPMD partitioning; over a
     single host the collective rides ICI
-Multi-host would add `jax.distributed.initialize` + DCN, same program.
+
+Multi-host (v5e pods past one host / DCN): `initialize_multihost()` wires
+`jax.distributed.initialize`, `make_mesh` then spans the GLOBAL device set,
+and `shard_batch` assembles per-process local batches into one global
+batch-sharded array (`jax.make_array_from_process_local_data`) — the same
+train step runs unchanged, with gradient all-reduce riding ICI inside a host
+and DCN across hosts. Exercised for real by tests/test_multihost.py: two
+coordinated CPU processes x 4 virtual devices = one 8-device global mesh.
 """
 
 from __future__ import annotations
@@ -23,7 +30,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join this process to a multi-host run (ref counterpart:
+    torch.distributed.init_process_group("nccl"), train.py:179).
+
+    On TPU pod slices all three arguments are auto-detected from the
+    environment — call with no arguments. Off-pod (or in the multi-process
+    CPU simulation the tests use) pass them explicitly. Idempotent."""
+    kw = {}
+    if coordinator_address is not None:
+        kw = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:  # already initialized
+        if "already initialized" not in str(e):
+            raise
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data mesh over the GLOBAL device set (all processes' devices
+    under multi-host)."""
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
@@ -41,6 +75,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree onto the mesh, batch-dim sharded."""
+    """Place a host batch pytree onto the mesh, batch-dim sharded.
+
+    Single-process: device_put with the batch sharding. Multi-host: each
+    process holds only ITS batch slice (a per-host loader shard, the
+    DistributedSampler equivalent); the local arrays are stitched into one
+    global array whose leading dim is the global batch."""
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -15,8 +15,15 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, output_dir: str, use_tensorboard: bool = True,
+    def __init__(self, output_dir: Optional[str], use_tensorboard: bool = True,
                  resume: bool = False):
+        # output_dir=None -> inert logger (non-rank-0 processes under
+        # multi-host; ref rank-0-only TB/fs writes, train.py:187-190)
+        if output_dir is None:
+            self.path = None
+            self._f = None
+            self._tb = None
+            return
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.jsonl")
         # fresh (non-resumed) runs truncate: appending would interleave two
@@ -32,6 +39,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
+        if self._f is None:
+            return
         rec = {"ts": time.time(), "step": int(step), "prefix": prefix}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
@@ -46,6 +55,8 @@ class MetricsLogger:
         exists without TB."""
         import numpy as np
 
+        if self.path is None:
+            return
         viz_dir = os.path.join(os.path.dirname(self.path), "viz")
         os.makedirs(viz_dir, exist_ok=True)
         pil_image.save(os.path.join(viz_dir, f"{name}_{int(step):07d}.png"))
@@ -56,6 +67,8 @@ class MetricsLogger:
             )
 
     def close(self):
+        if self._f is None:
+            return
         self._f.close()
         if self._tb is not None:
             self._tb.close()
