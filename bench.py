@@ -84,15 +84,14 @@ def main():
 
     import jax
 
-    # persistent XLA compile cache (same dir the test suite uses): the heavy
-    # detector-scan compile is paid once per container; later runs — e.g. the
-    # driver's end-of-round capture after an in-round run — start warm and
-    # emit the primary metric in ~1 min instead of ~12.
-    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".cache", "jax")
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent XLA compile cache + JAX_PLATFORMS honoring (shared helper —
+    # utils/cache.py): the heavy detector-scan compile is paid once per
+    # container; later runs — e.g. the driver's end-of-round capture after an
+    # in-round run — start warm and emit the primary metric in ~1 min
+    # instead of ~12.
+    from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -43,13 +43,6 @@ def _probe_backend():
         sys.exit(1)
 
 
-_probe_backend()
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gates", default="0,64,128,256",
@@ -62,6 +55,13 @@ def main():
     # synthetic raws come in pairs; round T down to even and use that value
     # everywhere (frame construction AND the fps denominator)
     args.frames = max(2, 2 * (args.frames // 2))
+
+    # probe AFTER arg parsing so --help never blocks on a 180s subprocess
+    _probe_backend()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
 

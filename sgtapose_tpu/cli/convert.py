@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--out", default=None, help="orbax output dir (torch -> jax)")
     p.add_argument("--out_pth", default=None, help=".pth output (jax -> torch)")
     p.add_argument("--arch", default="dlapawdl3new_34")
+    p.add_argument("--ablation_mode", default="shared_repro",
+                   help="for --arch dlaabla_34: shared_repro | shared | "
+                        "wo_shared (wo_shared checkpoints carry a separate "
+                        "base1 trunk that must be mapped)")
     p.add_argument("--dla_node", default="dcn", choices=["dcn", "conv"])
     p.add_argument("--kernel_list", default="12,6,3,1,1,1")
     p.add_argument("--num_classes", type=int, default=7)
@@ -50,6 +54,15 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+_ARCH_PHASE = {
+    "dlapawdl3new": "PlanA_win",
+    "dlapawd": "PlanA_win",
+    "dlapa": "PlanA",
+    "dlapacat": "PlanACAT",
+    "dlapawd3": "PlanA_three",
+}
+
+
 def _template_state(args):
     """Fresh TrainState as the shape template. Param shapes are
     input-resolution independent (convs + the (heads,n,n) attention bias
@@ -57,6 +70,11 @@ def _template_state(args):
     from sgtapose_tpu.config import Config, ModelConfig
     from sgtapose_tpu.train import trainer
 
+    arch_base = args.arch.split("_")[0]
+    phase = (
+        f"ablation_{args.ablation_mode}" if arch_base == "dlaabla"
+        else _ARCH_PHASE.get(arch_base, "PlanA_win")
+    )
     cfg = Config(
         model=ModelConfig(
             arch=args.arch,
@@ -64,9 +82,12 @@ def _template_state(args):
             num_classes=args.num_classes,
             dla_node=args.dla_node,
             kernel_list=tuple(int(x) for x in args.kernel_list.split(",")),
+            ablation_mode=args.ablation_mode,
         )
     )
-    return trainer.create_train_state(cfg, jax.random.PRNGKey(0), max_iters=1)
+    return trainer.create_train_state_for_phase(
+        cfg, jax.random.PRNGKey(0), phase, max_iters=1
+    )
 
 
 def main(argv=None):
@@ -78,6 +99,11 @@ def main(argv=None):
     from sgtapose_tpu.utils import torch_convert as tc
 
     arch_base = args.arch.split("_")[0]
+    if arch_base == "dlaabla" and args.ablation_mode == "wo_shared":
+        # wo_shared ablation checkpoints carry a second trunk (base1) +
+        # cur_img stem; the plain 'dlaabla' mapping would silently leave
+        # them at random init (torch_convert._flag_map:dlaabla_wo_shared)
+        arch_base = "dlaabla_wo_shared"
     if args.torch_ckpt:
         if not args.out:
             raise SystemExit("--torch_ckpt needs --out (orbax dir)")

@@ -145,6 +145,12 @@ def main(argv=None):
     # multi-host: join the run BEFORE any device query (ref NCCL
     # init_process_group, train.py:179). The mesh then spans the global
     # device set and XLA routes gradient collectives over ICI + DCN.
+    if args.coordinator and (args.num_processes is None or args.process_id is None):
+        raise SystemExit(
+            "--coordinator requires both --num_processes and --process_id "
+            "(explicit off-pod setup); on TPU pod slices use --multihost "
+            "alone for env auto-detection"
+        )
     if args.multihost or args.coordinator:
         mesh_lib.initialize_multihost(
             args.coordinator, args.num_processes, args.process_id
@@ -189,8 +195,14 @@ def main(argv=None):
     if args.add_dataset:
         pairs = pairs + discover(args.add_dataset)
     if jax.process_count() > 1:
-        # DistributedSampler equivalent: disjoint per-process slice
-        pairs = pairs[jax.process_index()::jax.process_count()]
+        # DistributedSampler equivalent: disjoint per-process slice,
+        # truncated to a COMMON length — uneven shards would give processes
+        # different iters_per_epoch and desynchronize the global SPMD
+        # launches into a deadlock (DistributedSampler pads for the same
+        # reason; we drop the remainder instead)
+        per_proc = len(pairs) // jax.process_count()
+        start = jax.process_index() * per_proc
+        pairs = pairs[start:start + per_proc]
     print(f"train pairs: {len(pairs)} (this process)")
 
     camera_K = np.asarray(SYNTHETIC_CAMERA_K)

@@ -154,9 +154,8 @@ def _epnp_control_points(x3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def _epnp_barycentric(x3d: jnp.ndarray, cw: jnp.ndarray) -> jnp.ndarray:
     """alphas (N,4): p_i = sum_j alpha_ij c_j, sum_j alpha_ij = 1."""
     CC = (cw[1:4] - cw[0]).T  # (3,3), columns are c_j - c_0
-    a123 = jnp.linalg.solve(
-        CC[None].repeat(x3d.shape[0], 0), (x3d - cw[0])[:, :, None]
-    )[:, :, 0]
+    # one 3x3 solve for ALL points (RHS = (3, N))
+    a123 = jnp.linalg.solve(CC, (x3d - cw[0]).T).T  # (N,3)
     a0 = 1.0 - jnp.sum(a123, axis=1, keepdims=True)
     return jnp.concatenate([a0, a123], axis=1)
 

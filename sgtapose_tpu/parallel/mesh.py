@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,8 +51,12 @@ def initialize_multihost(
         )
     try:
         jax.distributed.initialize(**kw)
-    except RuntimeError as e:  # already initialized
-        if "already initialized" not in str(e):
+    except RuntimeError as e:
+        # idempotency: jax 0.9 raises "distributed.initialize should only
+        # be called once" on a repeat call; older versions said "already
+        # initialized"
+        msg = str(e)
+        if "only be called once" not in msg and "already initialized" not in msg:
             raise
 
 
@@ -80,13 +85,36 @@ def shard_batch(batch, mesh: Mesh):
     Single-process: device_put with the batch sharding. Multi-host: each
     process holds only ITS batch slice (a per-host loader shard, the
     DistributedSampler equivalent); the local arrays are stitched into one
-    global array whose leading dim is the global batch."""
+    global array whose leading dim is the global batch — staying on device
+    (device_put slices to the local devices +
+    make_array_from_single_device_arrays), because the local batch usually
+    comes out of a jitted pipeline and a np.asarray round trip would pull
+    the whole 480p batch D2H and back every step."""
     sh = data_sharding(mesh)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sh, np.asarray(x)
-            ),
-            batch,
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    # mesh device order groups processes contiguously (jax.devices() orders
+    # by process), so this process's k-th local slice belongs on its k-th
+    # mesh-local device
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    n_local = len(local)
+    n_total = mesh.devices.size
+
+    def place(x):
+        x = jnp.asarray(x)
+        b = x.shape[0]
+        if b % n_local:
+            raise ValueError(
+                f"local batch {b} not divisible by local device count {n_local}"
+            )
+        per = b // n_local
+        global_shape = (per * n_total,) + x.shape[1:]
+        shards = [
+            jax.device_put(x[i * per:(i + 1) * per], d)
+            for i, d in enumerate(local)
+        ]
+        return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
+
+    return jax.tree_util.tree_map(place, batch)
