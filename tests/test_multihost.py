@@ -33,6 +33,10 @@ jax.config.update("jax_platforms", "cpu")
 
 coordinator, n_proc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
+from sgtapose_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()  # subprocesses don't inherit conftest's
+
 from sgtapose_tpu.parallel import mesh as mesh_lib
 
 mesh_lib.initialize_multihost(coordinator, n_proc, pid)
