@@ -607,4 +607,7 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-    return {k: v.detach().numpy() for k, v in sd.items()}
+    return {
+        k: (v.detach().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in sd.items()
+    }

@@ -1,6 +1,8 @@
 """Checkpoint converter: every flagship param leaf must map to a reference
 state_dict name with the right shape transform."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -242,3 +244,51 @@ def test_imagenet_dla34_trunk_init(flagship_vars):
         new_p2["pre_img_stem"]["Conv_0"]["kernel"],
         tc._conv(sd["base_layer.0.weight"]),
     )
+
+
+def test_convert_cli_roundtrip(tmp_path, rng):
+    """cli/convert end-to-end: reference-format .pth -> orbax -> back to
+    .pth, including the wo_shared ablation arch whose second trunk (base1)
+    the plain dlaabla mapping would miss."""
+    import torch
+
+    from sgtapose_tpu.cli import convert as convert_cli
+
+    # flagship: synthesize a coverage-complete reference state dict at the
+    # template shapes (the CLI inits its template at 64x64; shapes are
+    # res-independent)
+    args = convert_cli.parse_args(["--torch_ckpt", "x", "--out", "y"])
+    state = convert_cli._template_state(args)
+    sd = build_fake_state_dict(state.params, state.batch_stats, rng)
+    pth = str(tmp_path / "ref.pth")
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    torch.save({"epoch": 20, "state_dict": sd_t}, pth)
+
+    out = str(tmp_path / "ckpt")
+    convert_cli.main(["--torch_ckpt", pth, "--out", out,
+                      "--report_out", str(tmp_path / "report.json")])
+    assert os.path.isdir(out)
+
+    back = str(tmp_path / "back.pth")
+    convert_cli.main(["--ckpt", out, "--out_pth", back])
+    sd2 = torch.load(back, weights_only=False)["state_dict"]
+    # round trip is exact on every mapped tensor (the export also emits the
+    # weight-tied transformer copies layers.1/2 — compare them to layers.0)
+    import re as _re
+
+    for k, v in sd2.items():
+        k0 = _re.sub(r"(transformer\.\d\.layers\.)[12]\.", r"\g<1>0.", k)
+        np.testing.assert_allclose(np.asarray(v), sd[k0], atol=0, rtol=0,
+                                   err_msg=k)
+
+    # wo_shared: the template must expose base1 + cur_img_stem params so the
+    # reference's second trunk maps (and strict mode verifies coverage)
+    args2 = convert_cli.parse_args(
+        ["--torch_ckpt", "x", "--out", "y", "--arch", "dlaabla_34",
+         "--ablation_mode", "wo_shared"]
+    )
+    state2 = convert_cli._template_state(args2)
+    flat = {p for p, _ in tc._tree_paths(state2.params)}
+    assert any(p.startswith("base1/") for p in flat), "wo_shared trunk missing"
+    mapping = tc._flag_map("dcn", "dlaabla_wo_shared")
+    assert "base1/level0/Conv_0/kernel" in mapping
