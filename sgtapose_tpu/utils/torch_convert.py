@@ -460,6 +460,38 @@ def export_state_dict(
     return sd
 
 
+def export_imagenet_dla34(params, batch_stats) -> Dict[str, np.ndarray]:
+    """Export our `base/` trunk (params + BN stats) as a BARE ImageNet-format
+    DLA-34 state_dict (the dla34-ba72cf86.pth release layout that
+    `load_pretrained_model` consumes, ref lib/model/networks/dla.py:339-363)
+    — the exact inverse of convert_imagenet_dla34. No BGR flip: ImageNet DLA
+    release weights are RGB, as is our trunk.
+
+    Use case: this environment ships no ImageNet weights, so the
+    `--init_backbone` path is functionally validated by trunk transfer —
+    export a trained trunk here, warm-start a fresh run from the .pth
+    (scripts/export_trunk_dla34.py + scripts/train_r4_ab.sh)."""
+    mapping: Dict[str, Tuple[str, Optional[callable]]] = {}
+    _add_dla_trunk(mapping, "base", "")
+    flat = {p: np.asarray(v) for p, v in _tree_paths(params)}
+    flat.update({p: np.asarray(v) for p, v in _tree_paths(batch_stats)})
+
+    sd: Dict[str, np.ndarray] = {}
+    for our_path, w in flat.items():
+        if our_path in mapping:
+            ref, tf = mapping[our_path]
+        else:
+            head, leaf = our_path.rsplit("/", 1)
+            if head in mapping and leaf in {**_BN_PARAM, **_BN_STATS}:
+                suffix = _BN_PARAM.get(leaf) or _BN_STATS.get(leaf)
+                ref, tf = mapping[head][0] + "." + suffix, None
+            else:
+                continue  # non-trunk param
+        sd[ref] = (w if tf is None else _INVERSE[tf](w)).astype(np.float32)
+    assert sd, "no trunk tensors matched — unexpected param-tree structure"
+    return sd
+
+
 def save_torch_checkpoint(path: str, sd: Dict[str, np.ndarray], epoch: int = 0):
     """Write a reference-format {epoch, state_dict} .pth."""
     import torch

@@ -246,6 +246,36 @@ def test_imagenet_dla34_trunk_init(flagship_vars):
     )
 
 
+def test_imagenet_dla34_export_roundtrip(flagship_vars):
+    """export_imagenet_dla34 -> convert_imagenet_dla34 is the identity on
+    the trunk: exporting our randomly-initialized `base/` subtree as a bare
+    ImageNet-format state_dict and re-importing it into a zeroed tree
+    restores the trunk exactly (and only the trunk). This is the path the
+    --init_backbone trunk-transfer A/B rides (scripts/export_trunk_dla34.py)."""
+    params = flagship_vars["params"]
+    stats = flagship_vars["batch_stats"]
+    sd = tc.export_imagenet_dla34(params, stats)
+    # exact release-format key style: level0.0.weight / level2.tree1.bn1.*
+    assert "level0.0.weight" in sd and "level2.tree1.bn1.running_mean" in sd
+    assert not any(k.startswith(("pre_img", "base.")) for k in sd)
+
+    zeroed_p = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zeroed_s = jax.tree_util.tree_map(jnp.zeros_like, stats)
+    new_p, new_s, report = tc.convert_imagenet_dla34(sd, zeroed_p, zeroed_s,
+                                                     strict=True)
+    assert not report["missing"] and not report["mismatched"], report
+    assert not report["unused_ref_keys"], report["unused_ref_keys"][:10]
+
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, new_p["base"], params["base"]
+    )
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, new_s["base"], stats["base"]
+    )
+    # non-trunk modules stay at the target tree's values (zeros here)
+    assert float(jnp.abs(new_p["pre_img_stem"]["Conv_0"]["kernel"]).max()) == 0
+
+
 def test_convert_cli_roundtrip(tmp_path, rng):
     """cli/convert end-to-end: reference-format .pth -> orbax -> back to
     .pth, including the wo_shared ablation arch whose second trunk (base1)
