@@ -67,6 +67,14 @@ def parse_args(argv=None):
                    help="QAT fine-tune mode: train with fake-quantized convs "
                         "(straight-through int8 noise, models/layers.py) and "
                         "evaluate with real int8 serving")
+    p.add_argument("--cache_prior", action="store_true",
+                   help="fine-tune ON the feature-cache serving path's input "
+                        "distribution: condition the pre pass on a PnP-"
+                        "reprojection prior instead of the detection prior "
+                        "(data/pipeline.py cache_prior)")
+    p.add_argument("--eval_cache", action="store_true",
+                   help="also evaluate on the feature-cache fast-path "
+                        "detector (one trunk pass per frame)")
     return p.parse_args(argv)
 
 
@@ -103,7 +111,9 @@ def main(argv=None):
         state = state.replace(params=new_p, batch_stats=new_s)
         print(f"ImageNet trunk init from {args.init_backbone}: "
               f"{report['n_converted']} tensors")
-    batch_fn = pipeline.make_batch_fn(cfg, synthetic.camera_K())
+    batch_fn = pipeline.make_batch_fn(
+        cfg, synthetic.camera_K(), cache_prior=args.cache_prior
+    )
     raw_fn = jax.jit(functools.partial(synthetic.make_raw_batch, batch_size=args.batch))
     step = functools.partial(
         trainer.train_step, bf16=args.bf16, reg_weight=args.reg_weight
@@ -169,6 +179,19 @@ def main(argv=None):
     print(f"L2 mean px: {km['l2_error_mean_px']}")
     print(f"ADD AUC@0.06m: {pm['add_auc']}")
     print(f"ADD mean m: {pm['add_mean']}")
+
+    if args.eval_cache:
+        runc = det_lib.make_cached_video_detector(
+            model, variables, cfg, synthetic.camera_K(),
+            raw_hw=(synthetic.RAW_H, synthetic.RAW_W),
+            quant="int8" if args.quant_train else None,
+        )
+        resc, fpsc = evaluate_runner(runc, cfg, vids, args.eval_frames)
+        kmc, pmc = resc["keypoint_metrics"], resc["pnp_metrics"]
+        print(f"[cache path] eval inference: {n_frames} frames ({fpsc:.1f} fps)")
+        print(f"[cache path] PCK AUC@12px: {kmc['l2_error_auc']}")
+        print(f"[cache path] ADD AUC@0.06m: {pmc['add_auc']}")
+        results["cache_path"] = resc
     return results
 
 

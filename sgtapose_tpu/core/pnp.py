@@ -287,14 +287,21 @@ def _epnp_pose(
 
 
 def epnp_init(
-    x3d: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray, weights: jnp.ndarray
+    x3d: jnp.ndarray, x2d: jnp.ndarray, K: jnp.ndarray, weights: jnp.ndarray,
+    n_cases: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked EPnP (Lepetit et al.) estimate of (R, t) — the same algorithm
     cv2.solvePnP runs for the reference's init stage
     (ref geometric_vision.py:88-96, flags=SOLVEPNP_EPNP). All three beta
     cases are Gauss-Newton-refined and the lowest-reprojection candidate
     wins, matching cv2's case selection. Row masking via `weights` replaces
-    the reference's NaN row filtering (static shapes)."""
+    the reference's NaN row filtering (static shapes).
+
+    n_cases=1 solves only cv2's case-1 beta parameterization (the one that
+    wins on well-conditioned clouds) — a smaller XLA program for the
+    vmapped training-prior path where compile time is at a premium
+    (measured vs cv2 full solve: max 0.0079 px over 248 poses, same bar as
+    the 3-case solver's 0.0076 px; see tests/test_pnp.py)."""
     cw = _epnp_control_points(x3d, weights)
     alphas = _epnp_barycentric(x3d, cw)
     v = _epnp_nullspace(alphas, x2d, K, weights)
@@ -311,6 +318,9 @@ def epnp_init(
         err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         return R, t, err
 
+    if n_cases == 1:
+        R, t, _ = solve_case(betas0[0])
+        return R, t
     Rs, ts, errs = jax.vmap(solve_case)(betas0)
     best = jnp.argmin(errs)
     return Rs[best], ts[best]
@@ -387,6 +397,7 @@ def solve_pnp(
     valid: jnp.ndarray | None = None,
     refine_iters: int = 30,
     init: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    prior_grade: bool = False,
 ) -> PnPResult:
     """Full PnP: masked EPnP init + LM refine — the same two-stage scheme as
     ref solve_pnp (geometric_vision.py:43-116, SOLVEPNP_EPNP then
@@ -398,6 +409,13 @@ def solve_pnp(
     given pose (streaming detectors carry the previous frame's solution;
     same objective and success gate, so good warm starts land in the same
     optimum the fresh init would).
+
+    prior_grade=True compiles a ~3x smaller program for the vmapped
+    training-prior path: 1-case EPnP init and NO DLT/canonical fallback
+    branch (under vmap lax.cond lowers to select, so the fallback's two
+    extra LM refinements run for EVERY sample — pure waste when the inputs
+    are noised GT projections that EPnP handles). Failures still gate
+    success=False and callers keep their is_pnp fallback semantics.
 
     success mirrors the reference's pnp_retval: False when fewer than 4 valid
     points or the solution is degenerate (non-finite).
@@ -412,7 +430,8 @@ def solve_pnp(
     x2d = jnp.where(valid[:, None], x2d, 0.0)
 
     def fresh_init(_):
-        R0, t0 = epnp_init(x3d, x2d, K, w)
+        R0, t0 = epnp_init(x3d, x2d, K, w,
+                           n_cases=1 if prior_grade else 3)
         return geometry.matrix_to_quat(R0), t0
 
     if init is None:
@@ -446,6 +465,17 @@ def solve_pnp(
     q_a, t_a = refine_pose_lm(x3d, x2d, K, w, q0, t0, max_iters=refine_iters)
     err_a = masked_reproj_err(q_a, t_a)
     err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
+
+    if prior_grade:
+        ok = (
+            (n_valid >= 4)
+            & jnp.all(jnp.isfinite(q_a))
+            & jnp.all(jnp.isfinite(t_a))
+            & (err_a < 1e3)
+        )
+        q = jnp.where(ok, q_a, jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
+        t = jnp.where(ok, t_a, jnp.zeros(3, jnp.float32))
+        return PnPResult(success=ok, quat=q, trans=t)
 
     centroid = jnp.sum(x3d * w[:, None], axis=0) / jnp.maximum(n_valid, 1.0)
     q_c = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
@@ -625,6 +655,7 @@ def pnp_reprojection_prior(
     K: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     init: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    prior_grade: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PnPResult]:
     """PnP from the previous frame's (3D, 2D) pairs, then reproject the next
     frame's FK 3D keypoints: the temporal structure prior.
@@ -634,7 +665,8 @@ def pnp_reprojection_prior(
     next_2d_est (N,2), full PnPResult — for carrying the pose). On failure
     the caller falls back to the previous detections (is_pnp semantics).
     """
-    res = solve_pnp(prev_x3d, prev_x2d, K, valid, init=init)
+    res = solve_pnp(prev_x3d, prev_x2d, K, valid, init=init,
+                    prior_grade=prior_grade)
     R = geometry.quat_to_matrix(res.quat)
     next_est = geometry.project_points(next_x3d, R, res.trans, K)
     return res.success, next_est, res
@@ -648,7 +680,7 @@ def noised_pnp_prior(
     K: jnp.ndarray,
     hm_disturb: float,
     lost_disturb: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, PnPResult]:
     """Training-time prior generation with fault injection
     (ref: geometric_vision.py:233-280 get_pnp_keypoints):
       * jitter each previous GT projection by N(0,1) * hm_disturb * 2
@@ -656,14 +688,20 @@ def noised_pnp_prior(
       * PnP on surviving noised points; reproject next frame's 3D points
 
     Returns (success, next_2d_est (N,2), prev_2d_noised_out (N,2) with dropped
-    points set to the -999.999 sentinel).
+    points set to the -999.999 sentinel, PnPResult — the solved pose, used by
+    the cache-prior training mode to render a repro-style prior for the prev
+    frame).
     """
     k_jit, k_drop = jax.random.split(rng)
     n = prev_x2d_gt.shape[0]
     noise = jax.random.normal(k_jit, (n, 2)) * hm_disturb * 2.0
     noised = prev_x2d_gt + noise
     keep = jax.random.uniform(k_drop, (n,)) > lost_disturb
-    success, next_est, _ = pnp_reprojection_prior(prev_x3d, noised, next_x3d, K, keep)
+    # prior_grade: the inputs here are noised GT projections — EPnP+LM always
+    # converges; the full solver's vmapped fallback branch would run 2 extra
+    # LM refinements per sample for nothing (compile AND step time).
+    success, next_est, res = pnp_reprojection_prior(
+        prev_x3d, noised, next_x3d, K, keep, prior_grade=True)
     sentinel = jnp.full((n, 2), -999.999, jnp.float32)
     noised_out = jnp.where(keep[:, None], noised, sentinel)
-    return success, next_est, noised_out
+    return success, next_est, noised_out, res

@@ -80,8 +80,13 @@ def augment_and_render(
     camera_K: jnp.ndarray,
     cfg: Config,
     augment: bool = True,
+    cache_prior: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """One sample's full train-input construction. jit/vmap-safe."""
+    """One sample's full train-input construction. jit/vmap-safe.
+
+    cache_prior=True conditions the pre pass on a PnP-reprojection prior
+    instead of the detection prior — the feature-cache serving path's input
+    distribution (see infer/detector.py _build_cached_video_runner)."""
     H_raw, W_raw = sample.prev_img.shape[0], sample.prev_img.shape[1]
     in_h, in_w = cfg.model.input_res
     out_h, out_w = cfg.model.output_res
@@ -126,7 +131,7 @@ def augment_and_render(
     )
 
     # --- PnP structure prior with fault injection (ref datasets.py:189-211) -
-    ok, next_est, prev_noised = pnp.noised_pnp_prior(
+    ok, next_est, prev_noised, prior_pose = pnp.noised_pnp_prior(
         k_prior,
         sample.prev_x3d_rob,
         sample.prev_projs,
@@ -137,9 +142,26 @@ def augment_and_render(
     )
     okf = ok.astype(jnp.float32)
 
-    pre_hm = geometry.render_prior_heatmap(
-        prev_noised, trans_input, in_w, in_h, W_raw, H_raw
-    ) * okf
+    if cache_prior:
+        # Feature-cache fine-tune mode (infer/detector.py
+        # _build_cached_video_runner): on the fast path the previous-pass
+        # trunk features were conditioned on repro_hm_{t-1} — a PnP
+        # REPROJECTION of the prev frame's 3D points — not on the
+        # detection-rendered pre_hm. Train the pre pass on that distribution:
+        # project prev_x3d under the solved prior pose and render it where
+        # pre_hm would go. pre_hm_cls stays detection-rendered (the fuse
+        # stage's cls maps come from detections on the fast path too).
+        R_prior = geometry.quat_to_matrix(prior_pose.quat)
+        prev_est = geometry.project_points(
+            sample.prev_x3d_rob, R_prior, prior_pose.trans, camera_K
+        )
+        pre_hm = geometry.render_prior_heatmap(
+            prev_est, trans_input, in_w, in_h, W_raw, H_raw
+        ) * okf
+    else:
+        pre_hm = geometry.render_prior_heatmap(
+            prev_noised, trans_input, in_w, in_h, W_raw, H_raw
+        ) * okf
     repro_hm = geometry.render_prior_heatmap(
         next_est, trans_input, in_w, in_h, W_raw, H_raw
     ) * okf
@@ -170,7 +192,8 @@ def augment_and_render(
     }
 
 
-def make_batch_fn(cfg: Config, camera_K, augment: bool = True):
+def make_batch_fn(cfg: Config, camera_K, augment: bool = True,
+                  cache_prior: bool = False):
     """Returns jitted fn(rng, batched RawSample) -> model batch dict."""
     K = jnp.asarray(camera_K, jnp.float32)
 
@@ -178,7 +201,7 @@ def make_batch_fn(cfg: Config, camera_K, augment: bool = True):
         B = samples.prev_img.shape[0]
         rngs = jax.random.split(rng, B)
         return jax.vmap(
-            lambda r, s: augment_and_render(r, s, K, cfg, augment)
+            lambda r, s: augment_and_render(r, s, K, cfg, augment, cache_prior)
         )(rngs, samples)
 
     return jax.jit(batch_fn)
@@ -238,7 +261,7 @@ def augment_and_render_three(
     )
 
     # ppre -> pre prior chain
-    ok2, pre_est, ppre_noised = pnp.noised_pnp_prior(
+    ok2, pre_est, ppre_noised, _ = pnp.noised_pnp_prior(
         k_pp, sample.ppre_x3d_rob, sample.ppre_projs, sample.pre_x3d_rob,
         camera_K, cfg.train.hm_disturb, cfg.train.lost_disturb,
     )
