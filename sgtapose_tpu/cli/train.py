@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--hm_disturb", type=float, default=0.75)
     p.add_argument("--lost_disturb", type=float, default=0.2)
     p.add_argument("--fp_disturb", type=float, default=0.1)
+    p.add_argument("--fp_disturb_active", action="store_true",
+                   help="actually inject false-positive prior blobs; the "
+                        "reference flag exists but its live renderer has the "
+                        "fp block commented out (utilities.py:999-1005), so "
+                        "the default is inert like the reference")
     p.add_argument("--input_res", type=int, default=480)
     p.add_argument("--dla_node", default="dcn", choices=["dcn", "conv"])
     p.add_argument("--dcn_chunks", type=int, default=1,
@@ -130,6 +135,7 @@ def build_config(args) -> Config:
             hm_disturb=args.hm_disturb,
             lost_disturb=args.lost_disturb,
             fp_disturb=args.fp_disturb,
+            fp_disturb_active=args.fp_disturb_active,
         ),
         robot=args.robot,
     )

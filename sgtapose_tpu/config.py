@@ -128,7 +128,15 @@ class TrainConfig:
     # Prior heatmap fault-injection curriculum (ref: train_scripts.sh:5-7)
     hm_disturb: float = 0.75
     lost_disturb: float = 0.2
+    # fp_disturb mirrors the reference FLAG (opts_parallel.py:261, shipped at
+    # 0.1) but is INERT by default, like the reference's live renderer: the
+    # false-positive block in get_prev_hm is commented out
+    # (utilities.py:999-1005), and the only implementation that applies it
+    # (get_prev_ori_hm, utilities.py:1102) has zero call sites. Set
+    # fp_disturb_active=True to opt into the documented deviation that
+    # actually injects false positives (PARITY.md).
     fp_disturb: float = 0.1
+    fp_disturb_active: bool = False
     # Loss weights (ref: trainer_parallel.py:102-104)
     hm_weight: float = 1.0
     reg_weight: float = 0.01

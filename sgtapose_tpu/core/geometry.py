@@ -328,12 +328,17 @@ def render_noised_prior_heatmap(
     lost_disturb: float,
     fp_disturb: float = 0.0,
 ) -> jnp.ndarray:
-    """Training prior with jitter + random drops + false positives (the
-    fault-injection curriculum).
+    """Training prior with jitter + random drops + optional false positives
+    (the fault-injection curriculum).
     (ref: utilities.py:985-1006 get_prev_hm — jitter N(0,1)*hm_disturb*2 is
-    applied AFTER the affine+clip, drops with prob lost_disturb;
-    utilities.py:1115-1120 get_prev_ori_hm — extra blob near each keypoint
-    with probability fp_disturb, jittered by N(0,1)*0.05*2.)
+    applied AFTER the affine+clip, drops with prob lost_disturb.)
+
+    fp_disturb > 0 injects an extra blob near each keypoint with probability
+    fp_disturb, jittered by N(0,1)*0.05*2 — the semantics of the reference's
+    COMMENTED-OUT fp block (utilities.py:999-1005; the standalone
+    get_prev_ori_hm at utilities.py:1102 implements the same thing but has
+    zero call sites). The reference-live behavior is therefore fp_disturb=0;
+    callers opt in via TrainConfig.fp_disturb_active (PARITY.md deviation).
     """
     pts = affine_transform_and_clip(
         kp_projs_raw, trans_input, input_w, input_h, raw_width, raw_height

@@ -466,20 +466,35 @@ def solve_pnp(
     err_a = masked_reproj_err(q_a, t_a)
     err_a = jnp.where(jnp.isfinite(err_a), err_a, jnp.inf)
 
-    if prior_grade:
-        ok = (
-            (n_valid >= 4)
-            & jnp.all(jnp.isfinite(q_a))
-            & jnp.all(jnp.isfinite(t_a))
-            & (err_a < 1e3)
-        )
-        q = jnp.where(ok, q_a, jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
-        t = jnp.where(ok, t_a, jnp.zeros(3, jnp.float32))
-        return PnPResult(success=ok, quat=q, trans=t)
-
     centroid = jnp.sum(x3d * w[:, None], axis=0) / jnp.maximum(n_valid, 1.0)
     q_c = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
     t_c = jnp.array([0.0, 0.0, 2.0], jnp.float32) - centroid
+
+    if prior_grade:
+        # One unconditional canonical-pose LM restart instead of the full
+        # cond-fallback (DLT + 2 LMs): at shipping noise (0.75/0.2) the
+        # 1-case-EPnP-only tail is fat (p95 ~34 px vs the reference's ~2.7)
+        # and this restart restores it (measured p95 3.3 px, max 29 over 400
+        # noised solves — reference-grade; full solver p95 2.8). Under vmap
+        # a cond executes both branches anyway, so unconditional best-of-2
+        # is the same step cost at smaller program size.
+        q_e, t_e = refine_pose_lm(x3d, x2d, K, w, q_c, t_c,
+                                  max_iters=refine_iters)
+        err_e = masked_reproj_err(q_e, t_e)
+        err_e = jnp.where(jnp.isfinite(err_e), err_e, jnp.inf)
+        use_a2 = err_a <= err_e
+        q_p = jnp.where(use_a2, q_a, q_e)
+        t_p = jnp.where(use_a2, t_a, t_e)
+        err_p = jnp.minimum(err_a, err_e)
+        ok = (
+            (n_valid >= 4)
+            & jnp.all(jnp.isfinite(q_p))
+            & jnp.all(jnp.isfinite(t_p))
+            & (err_p < 1e3)
+        )
+        q_p = jnp.where(ok, q_p, jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
+        t_p = jnp.where(ok, t_p, jnp.zeros(3, jnp.float32))
+        return PnPResult(success=ok, quat=q_p, trans=t_p)
 
     def fallback_candidates(_):
         R_d, t_d = dlt_init(x3d, x2d, K, w)

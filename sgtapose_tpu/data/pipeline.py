@@ -127,7 +127,8 @@ def augment_and_render(
     # ref datasets.py:181-183 prev_origin_belief_maps) --------------------
     pre_origin_hm = geometry.render_noised_prior_heatmap(
         k_prevhm, sample.prev_projs, trans_input, in_w, in_h, W_raw, H_raw,
-        cfg.train.hm_disturb, cfg.train.lost_disturb, cfg.train.fp_disturb,
+        cfg.train.hm_disturb, cfg.train.lost_disturb,
+        cfg.train.fp_disturb if cfg.train.fp_disturb_active else 0.0,
     )
 
     # --- PnP structure prior with fault injection (ref datasets.py:189-211) -
