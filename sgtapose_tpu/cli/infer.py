@@ -103,6 +103,11 @@ def parse_args(argv=None):
     p.add_argument("--phase", default=None,
                    help="inference phase/arch family (default: PlanA_win, or "
                         "Dream when --is_ct false); see train/phases.py")
+    p.add_argument("--flip_test", action="store_true",
+                   help="horizontal-flip TTA (DREAM single-frame mode only: "
+                        "flip-average belief maps, ref _flip_output "
+                        "average_flips rule; the reference's own flag is "
+                        "broken on the temporal detector — see PARITY.md)")
     p.add_argument("--is_ct", default="true", choices=["true", "false"],
                    help="false = DREAM-baseline single-frame mode "
                         "(ref sgta_detector.py:50-52, model.py:31-41)")
@@ -149,7 +154,8 @@ def _make_runner(args, apply, variables, cfg: Config, camera_K, raw_hw):
         from sgtapose_tpu.infer.dream_detector import make_dream_detector
 
         dream_run = make_dream_detector(
-            apply, variables, cfg, (raw_hw[1], raw_hw[0])
+            apply, variables, cfg, (raw_hw[1], raw_hw[0]),
+            flip_test=getattr(args, "flip_test", False),
         )
 
         def run(imgs_np, x3d):
@@ -552,6 +558,17 @@ def main(argv=None):
     )
     if args.phase is None:
         args.phase = "Dream" if args.is_ct == "false" else "PlanA_win"
+    if args.flip_test and args.is_ct != "false":
+        raise SystemExit(
+            "--flip_test is only defined for the DREAM single-frame mode "
+            "(--is_ct false). On the temporal detector the reference's own "
+            "flag is broken (pre_process never doubles the image batch, so "
+            "_flip_output averages an empty [1:2] slice — "
+            "ref sgta_detector.py:448,864-877; proven in "
+            "tests/test_parity_detector.py); flip-TTA is also ill-posed "
+            "there because the PnP prior and attention cls maps are not "
+            "mirror-equivariant."
+        )
     if args.phase.startswith("ablation_"):
         import dataclasses
 

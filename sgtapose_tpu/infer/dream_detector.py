@@ -23,17 +23,37 @@ from sgtapose_tpu.data import image_space
 from sgtapose_tpu.decode import peaks as decode_lib
 
 
-def make_dream_detector(model_apply, variables, cfg: Config, raw_wh: Tuple[int, int]):
+def make_dream_detector(model_apply, variables, cfg: Config, raw_wh: Tuple[int, int],
+                        flip_test: bool = False):
     """Returns fn(raw uint8 images (T, H_raw, W_raw, 3)) -> (kps_raw (T, K, 2)
     with sentinels, scores (T, K)). Host-side shrink-and-crop math; device
     forward + decode; raw-coordinate conversion on host (exact reference
-    conversion semantics, data/image_space.py)."""
+    conversion semantics, data/image_space.py).
+
+    flip_test: horizontal-flip test-time augmentation for this single-frame
+    mode — forward the mirrored image too and average the un-mirrored belief
+    maps (CenterTrack's `average_flips` rule for 'hm',
+    ref lib/model/utils.py:35-36 flip_tensor + sgta_detector.py:864-871
+    _flip_output; no left-right keypoint swap — robot links have no mirror
+    pairs, the reference's flip_idx machinery is for human pose). The
+    reference's own --flip_test flag is BROKEN on its detector (see
+    PARITY.md); this is the working equivalent where TTA is well-defined.
+    Both passes run as one doubled batch so the MXU sees one program."""
     in_h, in_w = cfg.model.input_res
     raw_w, raw_h = raw_wh
 
     def device_fn(images_netin):
-        out = model_apply(variables, images_netin)
-        hm = jnp.clip(jax.nn.sigmoid(out["hm"]), 1e-4, 1 - 1e-4)
+        if flip_test:
+            T = images_netin.shape[0]
+            doubled = jnp.concatenate(
+                [images_netin, images_netin[:, :, ::-1, :]], axis=0
+            )
+            out = model_apply(variables, doubled)
+            hm2 = jnp.clip(jax.nn.sigmoid(out["hm"]), 1e-4, 1 - 1e-4)
+            hm = (hm2[:T] + hm2[T:, :, ::-1, :]) / 2.0
+        else:
+            out = model_apply(variables, images_netin)
+            hm = jnp.clip(jax.nn.sigmoid(out["hm"]), 1e-4, 1 - 1e-4)
         zeros = jnp.zeros(hm.shape[:3] + (2,), hm.dtype)
 
         def decode_one(h):

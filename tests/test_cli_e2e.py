@@ -206,6 +206,33 @@ def test_infer_dream_mode(tmp_path):
     assert results["keypoint_metrics"]["num_gt_inframe"] > 0
     assert os.path.exists(os.path.join(res_dir, "syn_analysis_results.txt"))
 
+    # flip-TTA variant of the same path (ref _flip_output average_flips rule;
+    # working equivalent of the reference's broken --flip_test — PARITY.md)
+    results_flip = infer_cli.main(
+        [
+            "--dataset", data_dir,
+            "--output_dir", str(tmp_path / "dream_results_flip"),
+            "--is_ct", "false",
+            "--arch", "dreamhourglass",
+            "--robot", "panda_synthetic",
+            "--input_res", "64",
+            "--flip_test",
+        ]
+    )
+    assert results_flip["keypoint_metrics"]["num_gt_inframe"] > 0
+
+    # the temporal detector rejects the flag with the documented explanation
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="DREAM single-frame"):
+        infer_cli.main(
+            [
+                "--dataset", data_dir,
+                "--output_dir", str(tmp_path / "rejected"),
+                "--flip_test",
+            ]
+        )
+
 
 @pytest.mark.slow
 def test_train_then_infer_global_attention_arch(tmp_path):

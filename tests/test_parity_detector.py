@@ -635,3 +635,119 @@ def test_free_running_drift_diagnostic(functional_ckpt, video_dir):
         assert d0.max() < 0.3, d0
     # liveness: both sides keep detecting across the video
     assert ref_n >= T * 3 and our_n >= T * 3, (ref_n, our_n)
+
+def test_reference_flip_test_is_broken():
+    """The reference's --flip_test flag is NON-FUNCTIONAL on its detector:
+    pre_process never doubles the image batch (sgta_detector.py:368-399 emits
+    batch 1 unconditionally — the CenterTrack-lineage image-doubling was
+    dropped in this fork), so _flip_output (sgta_detector.py:864-877)
+    averages output[0:1] with flip(output[1:2]) where [1:2] is EMPTY; torch
+    broadcasting silently yields an EMPTY (0,...) heatmap, killing every
+    downstream decode. This test pins that evidence; our working flip-TTA
+    equivalent lives on the DREAM single-frame mode
+    (infer/dream_detector.py flip_test) where the augmentation is
+    well-defined. PARITY.md documents the justified drop."""
+    torch = pytest.importorskip("torch")
+    SGTADetector = ref_oracle.ensure_ref_detector_importable()
+
+    out = {"hm": torch.rand(1, 7, 8, 8)}  # batch 1, as process() produces
+    res = SGTADetector._flip_output(None, out)
+    assert res["hm"].shape[0] == 0  # empty — no detection can ever decode
+
+
+def test_dream_flip_tta_average_semantics():
+    """Our DREAM-mode flip TTA implements exactly the reference's
+    average_flips rule for 'hm' (lib/model/utils.py:35-36 flip_tensor +
+    sgta_detector.py:870-871): sigmoid both passes, un-mirror the flipped
+    pass, average, then decode. Verified end-to-end against a hand-computed
+    average on an orientation-sensitive stub model (a fixed x-gradient bias
+    breaks mirror equivariance, so TTA must CHANGE the scores)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgtapose_tpu.config import Config, ModelConfig
+    from sgtapose_tpu.data import image_space
+    from sgtapose_tpu.decode import peaks as decode_lib
+    from sgtapose_tpu.infer.dream_detector import make_dream_detector
+
+    H = W = 64
+    Ho = Wo = H // 4
+    xbias = jnp.linspace(0.0, 2.0, Wo)[None, None, :]
+
+    def stub_apply(variables, images):
+        x = images[:, ::4, ::4, 0]  # normalized red channel, (B, Ho, Wo)
+        logits = 6.0 * x + xbias
+        return {"hm": jnp.repeat(logits[..., None], 7, axis=-1)}
+
+    cfg = Config(model=ModelConfig(input_res=(H, W)))
+    run_flip = make_dream_detector(stub_apply, {}, cfg, (W, H), flip_test=True)
+    run_plain = make_dream_detector(stub_apply, {}, cfg, (W, H))
+
+    # two frames, one bright square each at asymmetric positions
+    imgs = np.zeros((2, H, W, 3), np.uint8)
+    imgs[0, 16:24, 40:48] = 255
+    imgs[1, 36:44, 12:20] = 255
+
+    kps_flip, scores_flip = run_flip(imgs)
+    kps_plain, scores_plain = run_plain(imgs)
+
+    # hand-compute the expected averaged map (identical preprocessing)
+    from PIL import Image
+
+    from sgtapose_tpu.config import IMAGE_MEAN, IMAGE_STD
+
+    mean = np.asarray(IMAGE_MEAN, np.float32)
+    std = np.asarray(IMAGE_STD, np.float32)
+    netin = np.stack([
+        (np.asarray(
+            image_space.preprocess_image(Image.fromarray(im), (W, H),
+                                         "shrink-and-crop"),
+            np.float32) / 255.0 - mean) / std
+        for im in imgs
+    ])
+    s = lambda v: np.clip(1.0 / (1.0 + np.exp(-v)), 1e-4, 1 - 1e-4)
+    hm_a = s(np.asarray(stub_apply({}, jnp.asarray(netin))["hm"]))
+    hm_b = s(np.asarray(stub_apply({}, jnp.asarray(netin[:, :, ::-1, :]))["hm"]))
+    expected = (hm_a + hm_b[:, :, ::-1, :]) / 2.0
+
+    def decode(hm):
+        zeros = jnp.zeros((Ho, Wo, 2), jnp.float32)
+        dec = jax.vmap(
+            lambda h: decode_lib.decode_heatmaps(
+                jnp.asarray(h), zeros, zeros,
+                max_peaks=cfg.infer.max_peaks,
+                peak_thresh=cfg.infer.peak_thresh,
+                ambiguity_gap=cfg.infer.ambiguity_gap,
+                peak_offset=cfg.infer.peak_offset,
+                sigma=cfg.infer.peak_sigma,
+                use_reg=False,
+                ref_sort=cfg.infer.ref_sort,
+            )
+        )(jnp.asarray(hm))
+        return np.asarray(dec.coords), np.asarray(dec.scores)
+
+    exp_coords, exp_scores = decode(expected)
+
+    # expected netout coords -> raw coords (same conversion the runner does)
+    found = exp_coords[..., 0] > -999.0
+    netin_pts = image_space.convert_keypoints_to_netin_from_netout(
+        exp_coords.reshape(-1, 2), (Wo, Ho), (W, H)
+    )
+    raw_pts = image_space.convert_keypoints_to_raw_from_netin(
+        netin_pts, (W, H), (W, H), "shrink-and-crop"
+    ).reshape(exp_coords.shape)
+    raw_pts[~found] = -999.999 * 4
+
+    found_flip = np.asarray(kps_flip)[..., 0] > -999.0
+    assert found.any()  # the blobs decode
+    np.testing.assert_array_equal(found, found_flip)
+    np.testing.assert_allclose(
+        np.asarray(kps_flip)[found], raw_pts[found], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_flip)[found], exp_scores[found], atol=1e-4
+    )
+    # the x-gradient bias is not mirror-equivariant, so TTA must change the
+    # scores vs the plain pass (the flag is not a silent no-op)
+    assert not np.allclose(scores_flip[found],
+                           np.asarray(scores_plain)[found], atol=1e-4)
