@@ -39,4 +39,20 @@ python -m sgtapose_tpu.cli.train_demo --steps 1000 --batch 8 --bf16 \
   --ckpt_out "$OUT/ft_cache" --eval_cache \
   --eval_videos 6 --eval_frames 16 2>&1 | tee "$OUT/ft_cache.log"
 
+# ImageNet-transfer proxy A/B (VERDICT r4 "Next round" #6; ref
+# dla.py:339-351 load_pretrained_model): export the base checkpoint's trunk
+# as a bare DLA-34 state_dict, warm-start a FRESH run from it, and compare
+# early training + eval vs from-scratch at the same seed/steps.
+python scripts/export_trunk_dla34.py --ckpt "$BASE" \
+  --out "$OUT/trunk_dla34.pth" 2>&1 | tee "$OUT/export_trunk.log"
+
+python -m sgtapose_tpu.cli.train_demo --steps 1000 --batch 8 --bf16 \
+  --init_backbone "$OUT/trunk_dla34.pth" \
+  --ckpt_out "$OUT/ft_trunk" \
+  --eval_videos 6 --eval_frames 16 2>&1 | tee "$OUT/ft_trunk.log"
+
+python -m sgtapose_tpu.cli.train_demo --steps 1000 --batch 8 --bf16 \
+  --ckpt_out "$OUT/ft_scratch" \
+  --eval_videos 6 --eval_frames 16 2>&1 | tee "$OUT/ft_scratch.log"
+
 echo "ALL ARMS DONE"
