@@ -45,6 +45,13 @@ def parse_args(argv=None):
     p.add_argument("--eval_videos", type=int, default=4)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=317)
+    p.add_argument("--schedule_iters", type=int, default=None,
+                   help="LR-schedule horizon (warmup/poly constants) when it "
+                        "should differ from --steps. Schedule constants are "
+                        "baked into the compiled train step, so fine-tune "
+                        "arms that pass the parent run's value (and match "
+                        "its lr/reg_weight) reuse its executable verbatim "
+                        "from the persistent compile cache")
     p.add_argument("--ckpt_out", default=None,
                    help="save the trained state (orbax) for offline evals")
     p.add_argument("--ckpt_every", type=int, default=0,
@@ -89,9 +96,15 @@ def main(argv=None):
             fused_attention=args.fused_attention,
             dcn_chunks=args.dcn_chunks, dcn_remat=args.dcn_remat,
         ),
-        train=TrainConfig(lr=args.lr, warmup_iters=min(100, args.steps // 4)),
+        train=TrainConfig(
+            lr=args.lr,
+            warmup_iters=min(100, (args.schedule_iters or args.steps) // 4),
+        ),
     )
-    state = trainer.create_train_state(cfg, jax.random.PRNGKey(args.seed), max_iters=args.steps)
+    state = trainer.create_train_state(
+        cfg, jax.random.PRNGKey(args.seed),
+        max_iters=args.schedule_iters or args.steps,
+    )
     if args.init_ckpt:
         # fine-tune: take params/batch_stats from the checkpoint, keep the
         # fresh optimizer + warmup/poly schedule of THIS run
