@@ -54,7 +54,11 @@ def arm_argv(name, args):
         "cache": common + base + ["--cache_prior", "--eval_cache"],
         "trunk": common + ["--init_backbone", trunk_pth],
         "scratch": common,
-        "qat": common + base + ["--quant_train"],
+        # QAT needs --dcn_remat: the fake-quant reduce_max scale temps push
+        # the B=8 480p bf16 train graph 33M over the 15.75G HBM budget
+        # (measured OOM at compile planning, r5); remat frees the DCN
+        # gather temps and the graph fits.
+        "qat": common + base + ["--quant_train", "--dcn_remat"],
     }[name]
 
 
