@@ -60,6 +60,15 @@ def parse_args(argv=None):
     p.add_argument("--init_ckpt", default=None,
                    help="warm-start params/batch_stats from a checkpoint "
                         "(fresh optimizer + schedule — fine-tune mode)")
+    p.add_argument("--resume_step", type=int, default=0,
+                   help="with --init_ckpt: continue the PARENT run's lr "
+                        "schedule from this step. Sets state.step and every "
+                        "optimizer count leaf to N host-side, so the "
+                        "already-compiled --schedule_iters executable (the "
+                        "schedule is baked; the count is DATA) replays lr "
+                        "steps N.. verbatim with zero recompile — preemption "
+                        "resume. Adam moments restart (not checkpointed by "
+                        "the params-only warm start)")
     p.add_argument("--init_backbone", default=None,
                    help="ImageNet DLA-34 .pth (bare state_dict) to initialize "
                         "the trunk from (ref dla.py:339-363 "
@@ -111,6 +120,22 @@ def main(argv=None):
         donor = trainer.load_checkpoint(os.path.abspath(args.init_ckpt), state)
         state = state.replace(params=donor.params, batch_stats=donor.batch_stats)
         print(f"warm-started params from {args.init_ckpt}")
+        if args.resume_step:
+            n = args.resume_step
+            # Advance ONLY the lr-schedule count (optax.adam = chain of
+            # ScaleByAdamState, ScaleByScheduleState). ScaleByAdamState.count
+            # stays 0 so its bias correction matches the fresh (zero)
+            # moments — advancing it too would skip the correction and run a
+            # ~3x-lr transient for the first ~100 steps (measured).
+            new_opt = tuple(
+                s._replace(count=jnp.asarray(n, s.count.dtype))
+                if type(s).__name__ == "ScaleByScheduleState" else s
+                for s in state.opt_state
+            )
+            state = state.replace(
+                step=jnp.asarray(n, jnp.int32), opt_state=new_opt,
+            )
+            print(f"schedule resumed at step {n}", flush=True)
     if args.init_backbone:
         from sgtapose_tpu.utils.torch_convert import (
             convert_imagenet_dla34, load_torch_checkpoint,
