@@ -121,21 +121,8 @@ def main(argv=None):
         state = state.replace(params=donor.params, batch_stats=donor.batch_stats)
         print(f"warm-started params from {args.init_ckpt}")
         if args.resume_step:
-            n = args.resume_step
-            # Advance ONLY the lr-schedule count (optax.adam = chain of
-            # ScaleByAdamState, ScaleByScheduleState). ScaleByAdamState.count
-            # stays 0 so its bias correction matches the fresh (zero)
-            # moments — advancing it too would skip the correction and run a
-            # ~3x-lr transient for the first ~100 steps (measured).
-            new_opt = tuple(
-                s._replace(count=jnp.asarray(n, s.count.dtype))
-                if type(s).__name__ == "ScaleByScheduleState" else s
-                for s in state.opt_state
-            )
-            state = state.replace(
-                step=jnp.asarray(n, jnp.int32), opt_state=new_opt,
-            )
-            print(f"schedule resumed at step {n}", flush=True)
+            state = trainer.resume_schedule_state(state, args.resume_step)
+            print(f"schedule resumed at step {args.resume_step}", flush=True)
     if args.init_backbone:
         from sgtapose_tpu.utils.torch_convert import (
             convert_imagenet_dla34, load_torch_checkpoint,

@@ -107,6 +107,28 @@ def create_train_state(
     return create_train_state_for_phase(cfg, rng, "PlanA_win", max_iters)
 
 
+def resume_schedule_state(state: TrainState, step: int) -> TrainState:
+    """Preemption resume for params-only warm starts (train_demo
+    --resume_step): advance state.step and the optax lr-schedule count to
+    `step`, so the SAME compiled train-step executable — schedule constants
+    are baked at trace time but the count is runtime data — replays the
+    parent run's lr tail verbatim with zero recompile.
+
+    ScaleByAdamState.count intentionally stays 0: its bias correction must
+    match the fresh (zero) moments of a params-only restart. Advancing it
+    too would skip the correction and run a ~3.2x-lr update transient for
+    the first ~100 steps (measured: first-update magnitude lr*0.1/sqrt(1e-3)
+    with stale count vs lr with count 0)."""
+    new_opt = tuple(
+        s._replace(count=jnp.asarray(step, s.count.dtype))
+        if type(s).__name__ == "ScaleByScheduleState" else s
+        for s in state.opt_state
+    )
+    return state.replace(
+        step=jnp.asarray(step, jnp.int32), opt_state=new_opt
+    )
+
+
 def model_forward(
     state: TrainState, params, batch, train: bool, rngs=None,
     phase: str = "PlanA_win",

@@ -315,3 +315,29 @@ def test_eval_predict_step_matches_separate_calls(raw_batch):
         np.testing.assert_allclose(
             np.asarray(pred_fused[k]), np.asarray(pred_sep[k]), rtol=1e-6
         )
+
+
+def test_resume_schedule_state():
+    """--resume_step surgery (cli/train_demo.py): the lr-schedule count
+    advances to N (so the baked warmup+poly schedule replays its tail), the
+    Adam moment count stays 0 (bias correction must match fresh moments),
+    state.step becomes N, and the pytree STRUCTURE is unchanged (same-shape
+    avals => the parent's compiled executable is reused verbatim)."""
+    state = trainer.create_train_state(TINY, jax.random.PRNGKey(0), max_iters=1000)
+    resumed = trainer.resume_schedule_state(state, 600)
+
+    assert int(resumed.step) == 600
+    names = [type(s).__name__ for s in resumed.opt_state]
+    assert "ScaleByAdamState" in names and "ScaleByScheduleState" in names
+    for s in resumed.opt_state:
+        if type(s).__name__ == "ScaleByScheduleState":
+            assert int(s.count) == 600
+        if type(s).__name__ == "ScaleByAdamState":
+            assert int(s.count) == 0
+    # identical treedef + leaf shapes/dtypes -> no recompile on resume
+    t0 = jax.tree_util.tree_structure((state.step, state.opt_state))
+    t1 = jax.tree_util.tree_structure((resumed.step, resumed.opt_state))
+    assert t0 == t1
+    for a, b in zip(jax.tree_util.tree_leaves((state.step, state.opt_state)),
+                    jax.tree_util.tree_leaves((resumed.step, resumed.opt_state))):
+        assert a.shape == b.shape and a.dtype == b.dtype
