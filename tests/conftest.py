@@ -35,3 +35,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(317)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_host_memory():
+    """Full-suite stability: ~200 tests of jitted real-model graphs keep
+    every compiled XLA:CPU executable (with its constant-folded buffers)
+    alive in jax's in-memory caches, and the process eventually segfaults
+    inside a later big compile (observed twice at
+    test_variants.py::test_global_trains_one_step, the largest graph, after
+    ~108 tests — passes solo). Dropping the in-memory caches between modules
+    once RSS passes a threshold bounds the footprint; the persistent disk
+    cache (.cache/jax) makes the re-traces cheap."""
+    yield
+    import psutil
+
+    if psutil.Process().memory_info().rss > 40e9:
+        jax.clear_caches()
