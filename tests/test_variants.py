@@ -126,27 +126,60 @@ def test_ablation_forward(mode):
 
 
 def test_global_trains_one_step():
-    """dlapa takes a gradient step without NaNs (PlanA_win phase wiring)."""
-    import dataclasses
+    """dlapa takes a gradient step without NaNs (PlanA_win phase wiring).
 
-    import optax
+    Runs in a SUBPROCESS: this is the suite's largest single XLA:CPU compile
+    (global attention, full grad), and inside the ~200-test process it
+    crashes the interpreter (SIGSEGV once, SIGABRT once, at exactly this
+    compile; 3/3 full-suite runs, 2026-08-21) while passing solo and in
+    every subset combination tried — native-library state accumulated by the
+    long prefix, not this test's math, and jax.clear_caches() between
+    modules does not avoid it. The subprocess keeps the exact assertion,
+    shares the persistent compile cache, and leaves the suite immune to the
+    prefix."""
+    import subprocess
+    import sys
 
-    from sgtapose_tpu.models.variants import SGTAPoseGlobal
+    script = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(".cache/jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from sgtapose_tpu.config import ModelConfig
+from sgtapose_tpu.models.variants import SGTAPoseGlobal
 
-    img, hm, cls = _imgs()
-    m = SGTAPoseGlobal(TINY)
-    v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, cls, cls, train=False)
+TINY = ModelConfig(input_res=(64, 64), kernel_list=(3, 3, 3, 1, 1, 1), dla_node="conv")
+k = jax.random.PRNGKey(0)
+img = jax.random.normal(k, (1, 64, 64, 3))
+hm = jnp.zeros((1, 64, 64, 1))
+cls = jax.random.uniform(jax.random.fold_in(k, 1), (1, 16, 16, 7))
+m = SGTAPoseGlobal(TINY)
+v = m.init(jax.random.PRNGKey(1), img, img, hm, hm, cls, cls, train=False)
 
-    def loss_fn(params):
-        out = m.apply(
-            {"params": params, "batch_stats": v["batch_stats"]},
-            img, img, hm, hm, cls, cls, train=True,
-            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
-        )[0]
-        return jnp.mean(out["hm"] ** 2)
+def loss_fn(params):
+    out = m.apply(
+        {"params": params, "batch_stats": v["batch_stats"]},
+        img, img, hm, hm, cls, cls, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+    )[0]
+    return jnp.mean(out["hm"] ** 2)
 
-    # jit (not eager) so the compiled grad lands in the persistent cache:
-    # eager per-op dispatch of this graph costs ~80 s every run on 1 CPU core
-    g = jax.jit(jax.grad(loss_fn))(v["params"])
-    leaves = jax.tree_util.tree_leaves(g)
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+g = jax.jit(jax.grad(loss_fn))(v["params"])
+leaves = jax.tree_util.tree_leaves(g)
+assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+print("GLOBAL_GRAD_OK")
+"""
+    import os
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], cwd=repo,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-3000:])
+    assert "GLOBAL_GRAD_OK" in proc.stdout, proc.stdout[-500:]
