@@ -47,6 +47,12 @@ def arm_argv(name, args):
         "--ckpt_out", os.path.join(args.out, f"ft_{name}"),
     ]
     base = ["--init_ckpt", args.base]
+    if args.resume_step:
+        # fine-tune at the base's own point on the lr schedule (annealed
+        # tail), not from a warmup replay — a warm-started arm that restarts
+        # the schedule trains a trained model at peak lr and destroys it
+        # (measured: base-at-global-3000 + 400 steps @ ~1e-3 -> PCK 0.13)
+        base += ["--resume_step", str(args.resume_step)]
     trunk_pth = os.path.join(args.out, "trunk_dla34.pth")
     return {
         "control": common + base + ["--reg_weight", "0.01", "--eval_cache"],
@@ -92,6 +98,9 @@ def main():
     ap.add_argument("--schedule_iters", type=int, default=18000,
                     help="parent long run's horizon — arms that match it "
                          "reuse its compiled executable")
+    ap.add_argument("--resume_step", type=int, default=0,
+                    help="global step of --base on the parent schedule; "
+                         "warm-started arms fine-tune at that lr point")
     ap.add_argument("--eval_videos", type=int, default=6)
     ap.add_argument("--eval_frames", type=int, default=16)
     ap.add_argument("--arms", default="control,trunk,scratch,cache,reg01,qat")
